@@ -1,0 +1,77 @@
+"""Force-strategy factory.
+
+TPU-native counterpart of ``createForceCalculator``
+(reference: src/cuda/force_spatial_hash.cu:380-401). Strategy-via-closure:
+returns a pure ``force_fn(pos, mass) -> acc`` picked by
+``config.force_method``; the returned function is traced into the caller's
+jit program, so switching methods swaps XLA programs rather than virtual
+dispatch (reference: include/nbody/force_calculator.hpp:36-89).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+from nbody_tpu.errors import ValidationError
+from nbody_tpu.types import ForceMethod, SimulationConfig
+
+
+def _use_pallas(backend: Optional[str]) -> bool:
+    b = backend or jax.default_backend()
+    return b == "tpu"
+
+
+def make_force_fn(config: SimulationConfig, *, backend: Optional[str] = None):
+    """Build the force function for ``config.force_method``.
+
+    On TPU backends the hot paths use Pallas kernels; elsewhere (CPU tests)
+    the pure-XLA implementations run — same math, same seams as the
+    reference's CPU-reference-vs-GPU-kernel test strategy (SURVEY.md §4).
+    """
+    method = config.force_method
+    G = config.G
+    eps = config.softening
+
+    if method == ForceMethod.DIRECT_N2:
+        if _use_pallas(backend):
+            from nbody_tpu.ops.direct import direct_forces_pallas
+
+            def force_fn(pos, mass):
+                return direct_forces_pallas(pos, mass, G, eps)
+
+        else:
+            from nbody_tpu.ops.direct import direct_forces
+
+            def force_fn(pos, mass):
+                return direct_forces(pos, mass, G, eps)
+
+        return force_fn
+
+    if method == ForceMethod.BARNES_HUT:
+        from nbody_tpu.ops.barnes_hut import make_barnes_hut_forces
+
+        return make_barnes_hut_forces(config)
+
+    if method == ForceMethod.SPATIAL_HASH:
+        from nbody_tpu.ops.spatial_hash import make_spatial_hash_forces
+
+        return make_spatial_hash_forces(config)
+
+    raise ValidationError(f"Unknown force method: {method}")
+
+
+def list_algorithms():
+    """reference: --list-algorithms (src/main.cpp, app_cli.cpp:118-121)."""
+    return [
+        (ForceMethod.DIRECT_N2.cli_name, "Exact O(N²) all-pairs (Pallas tiled)"),
+        (
+            ForceMethod.BARNES_HUT.cli_name,
+            "O(N log N) hierarchical multipole approximation",
+        ),
+        (
+            ForceMethod.SPATIAL_HASH.cli_name,
+            "O(N) short-range with cutoff (sorted grid)",
+        ),
+    ]

@@ -1,0 +1,123 @@
+"""Velocity Verlet symplectic integrator + energy observability.
+
+TPU-native counterpart of the reference's integrator component
+(reference: src/cuda/integrator.cu:224-238 step; 51-119, 252-289 energy).
+
+Where the reference launches 4+ kernels per step (store-old-acc, positions,
+force, velocities) plus D2H reductions for energy, here a step is ONE pure
+function ``state -> state`` that XLA compiles into a single fused program;
+acc_old never exists as a buffer — the old acceleration is simply the value
+threaded through the step. Energy reductions stay on device (psum-ready for
+the sharded path) instead of the reference's block-reduce + host-sum.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from nbody_tpu.state import ParticleState
+
+# force_fn(pos (N,3), mass (N,)) -> acc (N,3)
+ForceFn = Callable[[jax.Array, jax.Array], jax.Array]
+
+
+def verlet_step(state: ParticleState, force_fn: ForceFn, dt) -> ParticleState:
+    """One Velocity Verlet step (reference: integrator.cu:224-238):
+
+      x(t+dt) = x(t) + v(t)·dt + ½·a(t)·dt²
+      a(t+dt) = F(x(t+dt)) / m
+      v(t+dt) = v(t) + ½·(a(t) + a(t+dt))·dt
+    """
+    dt = jnp.asarray(dt, state.pos.dtype)
+    pos = state.pos + state.vel * dt + (0.5 * dt * dt) * state.acc
+    acc = force_fn(pos, state.mass)
+    vel = state.vel + (0.5 * dt) * (state.acc + acc)
+    return ParticleState(
+        pos=pos, vel=vel, acc=acc, mass=state.mass, time=state.time + dt
+    )
+
+
+def make_verlet_step(force_fn: ForceFn, dt: float):
+    """Strategy-via-closure step factory (replaces the reference's
+    ForceCalculator vtable dispatch, include/nbody/force_calculator.hpp:36-89).
+    Returns a jittable ``step(state) -> state``."""
+
+    def step(state: ParticleState) -> ParticleState:
+        return verlet_step(state, force_fn, dt)
+
+    return step
+
+
+def make_multi_step(force_fn: ForceFn, dt: float, n_steps: int):
+    """``n_steps`` Verlet steps fused into one XLA program via lax.scan —
+    the whole benchmark loop is a single device launch."""
+
+    def body(state, _):
+        return verlet_step(state, force_fn, dt), None
+
+    def multi(state: ParticleState) -> ParticleState:
+        out, _ = jax.lax.scan(body, state, None, length=n_steps)
+        return out
+
+    return multi
+
+
+def initialize_forces(state: ParticleState, force_fn: ForceFn) -> ParticleState:
+    """Compute a(t=0) so the first Verlet step is correct
+    (reference: particle_system.cpp:91)."""
+    return dataclasses.replace(state, acc=force_fn(state.pos, state.mass))
+
+
+# ---------------------------------------------------------------------------
+# Energy observability (reference: integrator.cu:252-289)
+# ---------------------------------------------------------------------------
+
+
+def kinetic_energy(state: ParticleState) -> jax.Array:
+    """KE = ½ Σ m·|v|² (reference: integrator.cu:51-78)."""
+    return 0.5 * jnp.sum(state.mass * jnp.sum(state.vel * state.vel, axis=-1))
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def potential_energy(
+    pos, mass, G=1.0, softening=0.1, *, block_size: int = 256
+) -> jax.Array:
+    """PE = −G Σ_{i<j} m_i·m_j / √(r² + ε²) (reference: integrator.cu:81-119).
+
+    Computed as half the full (i ≠ j) double sum, blocked over i so the pair
+    matrix never materializes. Accumulates in float32 with a hierarchical
+    (per-block, then cross-block) reduction.
+    """
+    n = pos.shape[0]
+    b = min(block_size, max(n, 1))
+    n_pad = -(-n // b) * b
+    pos_p = jnp.pad(pos, ((0, n_pad - n), (0, 0)))
+    mass_p = jnp.pad(mass, (0, n_pad - n))
+    eps2 = softening * softening
+
+    pos_blocks = pos_p.reshape(n_pad // b, b, 3)
+    mass_blocks = mass_p.reshape(n_pad // b, b)
+
+    def one_block(args):
+        pb, mb = args
+        d = pos_p[None, :, :] - pb[:, None, :]          # (b, N, 3)
+        r2_raw = jnp.sum(d * d, axis=-1)
+        inv_r = jax.lax.rsqrt(r2_raw + eps2)
+        e = mb[:, None] * mass_p[None, :] * inv_r       # (b, N)
+        e = jnp.where(r2_raw == 0.0, 0.0, e)            # exclude self pairs
+        return jnp.sum(e, axis=1)
+
+    per_particle = jax.lax.map(one_block, (pos_blocks, mass_blocks))
+    return -0.5 * G * jnp.sum(per_particle)
+
+
+def total_energy(state: ParticleState, G=1.0, softening=0.1) -> jax.Array:
+    """KE + PE (reference: particle_system.cpp:316-318)."""
+    return kinetic_energy(state) + potential_energy(
+        state.pos, state.mass, G, softening
+    )

@@ -1,0 +1,241 @@
+"""ParticleSystem facade — the orchestrator.
+
+TPU-native counterpart of the reference facade
+(reference: include/nbody/particle_system.hpp:93-422,
+src/core/particle_system.cpp:40-342). Same lifecycle and API surface:
+validate → initialize → compute initial forces; ``update()`` = one Verlet
+step; pause/resume/reset; runtime setters that re-route into the live
+strategy (here: rebuilding the jitted step closure instead of dynamic_cast
+into a vtable object, particle_system.cpp:173-207); state get/set/save/load;
+energy queries.
+
+Like the reference, instances are not thread-safe
+(particle_system.hpp:37-53). Unlike the reference there is no GL interop to
+refresh per step — the renderer pulls snapshots through
+``nbody_tpu.render.stream`` instead.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+from nbody_tpu.errors import ValidationError, validate_config
+from nbody_tpu.models.distributions import init_from_config
+from nbody_tpu.ops.forces import make_force_fn
+from nbody_tpu.ops.integrator import (
+    initialize_forces,
+    kinetic_energy,
+    make_verlet_step,
+    potential_energy,
+)
+from nbody_tpu.state import ParticleState, SimulationState
+from nbody_tpu.types import ForceMethod, SimulationConfig
+from nbody_tpu.utils.profiling import profile_phase
+from nbody_tpu.utils.serialization import Serializer
+
+
+class ParticleSystem:
+    """Simulation facade (reference: particle_system.hpp:93-422)."""
+
+    def __init__(self):
+        self._config: Optional[SimulationConfig] = None
+        self._state: Optional[ParticleState] = None
+        self._force_fn = None
+        self._step = None
+        self._paused = False
+        self._initialized = False
+
+    # ---- lifecycle -------------------------------------------------------
+
+    def initialize(self, config: SimulationConfig) -> None:
+        """Validate config, build state + strategy, compute initial forces
+        (reference: particle_system.cpp:40-100)."""
+        validate_config(config)
+        from nbody_tpu.errors import validate_resource_requirements
+
+        validate_resource_requirements(config.particle_count)
+        self._config = config
+        state = init_from_config(config)
+        self._rebuild_strategy()
+        self._state = initialize_forces(state, self._force_fn)
+        self._paused = False
+        self._initialized = True
+
+    def _require_init(self):
+        if not self._initialized:
+            raise ValidationError("ParticleSystem is not initialized")
+
+    def _rebuild_strategy(self):
+        """Rebuild force closure + jitted step for the current config."""
+        self._force_fn = make_force_fn(self._config)
+        self._step = jax.jit(make_verlet_step(self._force_fn, self._config.dt))
+
+    # ---- stepping --------------------------------------------------------
+
+    def update(self, dt: Optional[float] = None) -> None:
+        """One Velocity Verlet step; no-op while paused
+        (reference: particle_system.cpp:115-127)."""
+        self._require_init()
+        if self._paused:
+            return
+        with profile_phase("simulation.update"):
+            if dt is not None and dt != self._config.dt:
+                self.set_time_step(dt)
+            self._state = self._step(self._state)
+
+    def pause(self) -> None:
+        self._require_init()
+        self._paused = True
+
+    def resume(self) -> None:
+        self._require_init()
+        self._paused = False
+
+    @property
+    def is_paused(self) -> bool:
+        return self._paused
+
+    def reset(self) -> None:
+        """Re-initialize particles from the stored config
+        (reference: particle_system.cpp reset path)."""
+        self._require_init()
+        self.initialize(self._config)
+
+    # ---- runtime setters (reference: particle_system.cpp:137-207) --------
+
+    def set_force_method(self, method: ForceMethod) -> None:
+        self._require_init()
+        self._config = self._config.replace(force_method=method)
+        validate_config(self._config)
+        self._rebuild_strategy()
+        # Recompute forces so the next step uses the new strategy's a(t).
+        self._state = initialize_forces(self._state, self._force_fn)
+
+    def set_time_step(self, dt: float) -> None:
+        self._require_init()
+        cfg = self._config.replace(dt=float(dt))
+        validate_config(cfg)
+        self._config = cfg
+        self._step = jax.jit(make_verlet_step(self._force_fn, dt))
+
+    def _set_param(self, **kw) -> None:
+        self._require_init()
+        cfg = self._config.replace(**kw)
+        validate_config(cfg)
+        self._config = cfg
+        self._rebuild_strategy()
+
+    def set_gravitational_constant(self, G: float) -> None:
+        self._set_param(G=float(G))
+
+    def set_softening(self, eps: float) -> None:
+        self._set_param(softening=float(eps))
+
+    def set_theta(self, theta: float) -> None:
+        self._set_param(barnes_hut_theta=float(theta))
+
+    def set_cell_size(self, cell_size: float) -> None:
+        self._set_param(spatial_hash_cell_size=float(cell_size))
+
+    def set_cutoff(self, cutoff: float) -> None:
+        self._set_param(spatial_hash_cutoff=float(cutoff))
+
+    # ---- accessors -------------------------------------------------------
+
+    @property
+    def config(self) -> SimulationConfig:
+        self._require_init()
+        return self._config
+
+    @property
+    def particle_count(self) -> int:
+        self._require_init()
+        return self._state.n
+
+    @property
+    def simulation_time(self) -> float:
+        self._require_init()
+        return float(self._state.time)
+
+    @property
+    def state(self) -> ParticleState:
+        """Device-side state pytree (read-only by convention)."""
+        self._require_init()
+        return self._state
+
+    def positions(self) -> np.ndarray:
+        self._require_init()
+        return np.asarray(self._state.pos)
+
+    def velocities(self) -> np.ndarray:
+        self._require_init()
+        return np.asarray(self._state.vel)
+
+    # ---- state snapshot / checkpoint (reference: cpp:213-302) -------------
+
+    def get_state(self) -> SimulationState:
+        self._require_init()
+        return SimulationState.from_particle_state(
+            self._state,
+            dt=self._config.dt,
+            G=self._config.G,
+            softening=self._config.softening,
+            force_method=self._config.force_method,
+        )
+
+    def set_state(self, snapshot: SimulationState) -> None:
+        """Full re-init semantics: validate → rebuild strategy for the
+        snapshot's parameters → recompute forces
+        (reference: particle_system.cpp:240-292)."""
+        from nbody_tpu.errors import validate_particle_count
+
+        validate_particle_count(snapshot.particle_count)
+        base = self._config if self._config is not None else SimulationConfig()
+        self._config = base.replace(
+            particle_count=snapshot.particle_count,
+            dt=snapshot.dt,
+            G=snapshot.G,
+            softening=snapshot.softening,
+            force_method=snapshot.force_method,
+        )
+        validate_config(self._config)
+        self._rebuild_strategy()
+        state = snapshot.to_particle_state()
+        self._state = initialize_forces(state, self._force_fn)
+        self._initialized = True
+
+    def save_state(self, filename: str) -> None:
+        """reference: particle_system.cpp:294-297."""
+        Serializer.save(filename, self.get_state())
+
+    def load_state(self, filename: str) -> None:
+        """reference: particle_system.cpp:299-302."""
+        self.set_state(Serializer.load(filename))
+
+    # ---- energy observability (reference: cpp:304-318) --------------------
+
+    def compute_kinetic_energy(self) -> float:
+        self._require_init()
+        return float(kinetic_energy(self._state))
+
+    def compute_potential_energy(self) -> float:
+        self._require_init()
+        return float(
+            potential_energy(
+                self._state.pos,
+                self._state.mass,
+                self._config.G,
+                self._config.softening,
+            )
+        )
+
+    def compute_total_energy(self) -> float:
+        return self.compute_kinetic_energy() + self.compute_potential_energy()
+
+    def block_until_ready(self) -> None:
+        """Synchronize outstanding device work (bench/timing helper)."""
+        self._require_init()
+        self._state.block_until_ready()
