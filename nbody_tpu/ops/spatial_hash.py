@@ -1,0 +1,277 @@
+"""Spatial-hash short-range forces — O(N) with cutoff.
+
+TPU-native counterpart of the reference's spatial hash pipeline
+(reference: src/cuda/force_spatial_hash.cu:28-152, 235-303,
+include/nbody/spatial_hash_grid.hpp:9-59). The reference builds per-cell
+particle lists with atomicAdd histogram + Thrust exclusive_scan + counting-
+sort scatter, then each thread sweeps its 3×3×3 neighbor cells.
+
+The TPU redesign keeps the same physics but is static-shape, sort-based and
+fully on-device (the reference syncs the bbox to the host every step,
+force_spatial_hash.cu:244-255 — here bbox stays on device):
+
+  1. bbox via min/max reductions (no host sync);
+  2. grid dims from cell_size, clamped to a static per-axis cap
+     (``hash_max_grid_dim``; plays the role of the reference's 100M-cell
+     cap, force_spatial_hash.cu:244-255);
+  3. cell ids with STATIC strides (cap-based) so shapes are static;
+  4. one ``argsort`` by cell id = the counting sort (replaces histogram +
+     scan + scatter: a sort is the canonical XLA-friendly form);
+  5. segment boundaries via vectorized ``searchsorted`` over all cell ids
+     (replaces cell_start/cell_end kernels);
+  6. force pass: blocked per-particle sweep of the 27 neighbor cells, each
+     contributing up to K=``hash_max_per_cell`` sorted-adjacent candidates
+     (static shapes; overflow beyond K is counted, see ``GridData``).
+
+Physics matches the reference kernel (force_spatial_hash.cu:83-152):
+cutoff² test on the RAW squared distance BEFORE softening is added, same
+softened force law, self-pair skipped. Like the reference, the sweep covers
+exactly the 3×3×3 neighbor cells — pairs within the cutoff but farther than
+one cell are not found (short-range approximation by design; choose
+cell_size ≥ cutoff for exactness).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from nbody_tpu.types import SimulationConfig
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GridData:
+    """On-device acceleration structure (reference: spatial_hash_grid.hpp:9-59).
+
+    Attributes:
+      order:       (N,) permutation sorting particles by cell id
+      cell_ids:    (N,) cell id per ORIGINAL particle index
+      sorted_ids:  (N,) cell id per sorted slot
+      cell_start:  (C,) first sorted slot of each cell (C = cap³ static)
+      cell_count:  (C,) particles in each cell
+      dims:        (3,) dynamic grid dims (values ≤ cap)
+      lo:          (3,) bbox lower corner
+      overflow:    ()   number of neighbor-list slots lost to the K cap
+                   (0 ⇒ the force pass saw every in-cell candidate)
+    """
+
+    order: jax.Array
+    cell_ids: jax.Array
+    sorted_ids: jax.Array
+    cell_start: jax.Array
+    cell_count: jax.Array
+    dims: jax.Array
+    lo: jax.Array
+    overflow: jax.Array
+
+
+def cell_index(coords: jax.Array, cap: int) -> jax.Array:
+    """Row-major cell id with STATIC strides (static shapes under jit).
+    reference analogue: getCellIndex (force_spatial_hash.cu:14-19)."""
+    return (coords[..., 0] * cap + coords[..., 1]) * cap + coords[..., 2]
+
+
+@functools.partial(jax.jit, static_argnames=("cell_size", "cap", "max_per_cell"))
+def build_spatial_grid(
+    pos: jax.Array,
+    *,
+    cell_size: float,
+    cap: int = 64,
+    max_per_cell: int = 64,
+) -> GridData:
+    """Build the sorted-grid structure (reference: force_spatial_hash.cu:235-303)."""
+    n = pos.shape[0]
+    lo = jnp.min(pos, axis=0)
+    hi = jnp.max(pos, axis=0)
+    dims = jnp.clip(
+        jnp.ceil((hi - lo) / cell_size).astype(jnp.int32), 1, cap
+    )
+    coords = jnp.clip(
+        jnp.floor((pos - lo) / cell_size).astype(jnp.int32), 0, dims - 1
+    )
+    ids = cell_index(coords, cap)
+
+    order = jnp.argsort(ids)
+    sorted_ids = ids[order]
+
+    num_cells = cap * cap * cap
+    queries = jnp.arange(num_cells, dtype=sorted_ids.dtype)
+    cell_start = jnp.searchsorted(sorted_ids, queries, side="left").astype(
+        jnp.int32
+    )
+    cell_end = jnp.searchsorted(sorted_ids, queries, side="right").astype(
+        jnp.int32
+    )
+    cell_count = cell_end - cell_start
+    overflow = jnp.sum(jnp.maximum(cell_count - max_per_cell, 0))
+
+    return GridData(
+        order=order.astype(jnp.int32),
+        cell_ids=ids.astype(jnp.int32),
+        sorted_ids=sorted_ids.astype(jnp.int32),
+        cell_start=cell_start,
+        cell_count=cell_count,
+        dims=dims,
+        lo=lo,
+        overflow=overflow,
+    )
+
+
+# The 27 static neighbor offsets (reference: force_spatial_hash.cu:97-111
+# triple loop; here a compile-time constant table).
+_OFFSETS = [
+    (dx, dy, dz)
+    for dx in (-1, 0, 1)
+    for dy in (-1, 0, 1)
+    for dz in (-1, 0, 1)
+]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "G",
+        "softening",
+        "cutoff",
+        "cell_size",
+        "cap",
+        "max_per_cell",
+        "block_size",
+    ),
+)
+def spatial_hash_forces(
+    pos: jax.Array,
+    mass: jax.Array,
+    G: float = 1.0,
+    softening: float = 0.1,
+    *,
+    cutoff: float = 2.0,
+    cell_size: float = 1.0,
+    cap: int = 64,
+    max_per_cell: int = 64,
+    block_size: int = 512,
+) -> jax.Array:
+    """Short-range forces with cutoff (reference: force_spatial_hash.cu:83-152)."""
+    n = pos.shape[0]
+    grid = build_spatial_grid(
+        pos, cell_size=cell_size, cap=cap, max_per_cell=max_per_cell
+    )
+    K = max_per_cell
+    eps2 = softening * softening
+    cut2 = cutoff * cutoff
+
+    # Work in sorted order: neighbor candidates are then contiguous runs.
+    psort = pos[grid.order]            # (N, 3)
+    msort = mass[grid.order]           # (N,)
+    coords_sorted = jnp.clip(
+        jnp.floor((psort - grid.lo) / cell_size).astype(jnp.int32),
+        0,
+        grid.dims - 1,
+    )
+
+    b = min(block_size, max(n, 1))
+    n_pad = -(-n // b) * b
+    pad = n_pad - n
+    psort_p = jnp.pad(psort, ((0, pad), (0, 0)))
+    coords_p = jnp.pad(coords_sorted, ((0, pad), (0, 0)))
+    # Padded targets use an out-of-range cell so every neighbor is masked.
+    coords_p = coords_p.at[n:].set(jnp.int32(-1000)) if pad else coords_p
+
+    offsets = jnp.asarray(_OFFSETS, jnp.int32)     # (27, 3)
+    slot = jnp.arange(K, dtype=jnp.int32)          # (K,)
+
+    def one_block(args):
+        pb, cb = args                              # (b,3) positions, (b,3) coords
+        ncoords = cb[:, None, :] + offsets[None, :, :]        # (b, 27, 3)
+        in_bounds = jnp.all(
+            (ncoords >= 0) & (ncoords < grid.dims), axis=-1
+        )                                                      # (b, 27)
+        ncid = cell_index(jnp.clip(ncoords, 0, cap - 1), cap)  # (b, 27)
+        start = grid.cell_start[ncid]                          # (b, 27)
+        count = jnp.minimum(grid.cell_count[ncid], K)          # (b, 27)
+        cand = start[:, :, None] + slot[None, None, :]         # (b, 27, K)
+        valid = (slot[None, None, :] < count[:, :, None]) & in_bounds[
+            :, :, None
+        ]
+        cand = jnp.where(valid, cand, 0)
+        pj = psort[cand]                                       # (b, 27, K, 3)
+        mj = msort[cand]                                       # (b, 27, K)
+
+        d = pj - pb[:, None, None, :]                          # (b, 27, K, 3)
+        r2_raw = jnp.sum(d * d, axis=-1)                       # (b, 27, K)
+        # cutoff on the raw distance BEFORE softening, self/coincident
+        # excluded (reference: force_spatial_hash.cu:120-139).
+        keep = valid & (r2_raw <= cut2) & (r2_raw > 0.0)
+        inv_r = jax.lax.rsqrt(r2_raw + eps2)
+        w = jnp.where(keep, mj * inv_r * inv_r * inv_r, 0.0)
+        return jnp.einsum("bok,bokd->bd", w, d)                # (b, 3)
+
+    acc_sorted = jax.lax.map(
+        one_block,
+        (
+            psort_p.reshape(n_pad // b, b, 3),
+            coords_p.reshape(n_pad // b, b, 3),
+        ),
+    ).reshape(n_pad, 3)[:n]
+
+    acc = jnp.zeros_like(pos).at[grid.order].set(G * acc_sorted)
+    return acc
+
+
+def make_spatial_hash_forces(config: SimulationConfig):
+    """Strategy factory (reference: SpatialHashCalculator,
+    force_spatial_hash.cu:364-377)."""
+    G = config.G
+    eps = config.softening
+    cutoff = config.spatial_hash_cutoff
+    cell = config.spatial_hash_cell_size
+    cap = config.hash_max_grid_dim
+    K = config.hash_max_per_cell
+
+    def force_fn(pos, mass):
+        return spatial_hash_forces(
+            pos,
+            mass,
+            G,
+            eps,
+            cutoff=cutoff,
+            cell_size=cell,
+            cap=cap,
+            max_per_cell=K,
+        )
+
+    return force_fn
+
+
+# ---------------------------------------------------------------------------
+# Verification helpers (reference: verifyCellAssignment,
+# force_spatial_hash.cu:336-362 — host-side audit used by tests)
+# ---------------------------------------------------------------------------
+
+
+def verify_cell_assignment(pos, grid: GridData, cap: int) -> bool:
+    """Every particle appears in exactly one cell and all N are covered."""
+    import numpy as np
+
+    n = pos.shape[0]
+    order = np.asarray(grid.order)
+    start = np.asarray(grid.cell_start)
+    count = np.asarray(grid.cell_count)
+    ids = np.asarray(grid.cell_ids)
+
+    if sorted(order.tolist()) != list(range(n)):
+        return False
+    covered = np.zeros(n, dtype=bool)
+    for c in np.unique(ids):
+        s, cnt = start[c], count[c]
+        members = order[s : s + cnt]
+        if covered[members].any():
+            return False
+        covered[members] = True
+        if not (ids[members] == c).all():
+            return False
+    return bool(covered.all())

@@ -7,9 +7,8 @@ tests run against 8 virtual CPU devices.
 
 import os
 
-# Must be set before jax is imported anywhere. Forced (not setdefault): the
-# surrounding environment may point JAX at a TPU tunnel; the test suite is
-# deliberately hermetic on CPU.
+# Forced (not setdefault): the surrounding environment may point JAX at a
+# TPU tunnel; the test suite is deliberately hermetic on CPU.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -19,6 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# A site-installed TPU plugin may have overridden jax_platforms at
+# interpreter startup (forcing a multi-minute tunnel handshake on first op);
+# the config update wins over both the env var and that override.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)  # allow f64 golden references
 
 import numpy as np  # noqa: E402
