@@ -1,0 +1,208 @@
+"""Application shell: wiring CLI → simulation → benchmark/render loops.
+
+TPU-native counterpart of the reference Application
+(reference: src/main.cpp:30-435). The GLFW window/event loop becomes a
+headless step loop with optional host-side frame rendering (there is no GL
+on a TPU host; see nbody_tpu.render); benchmark mode reproduces the
+reference's flow exactly: init → optional import → timed N-step loop →
+optional export → BenchmarkRunRecord JSON to stdout/file with phase
+timings (main.cpp:335-416).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from nbody_tpu.cli import AppCliOptions
+from nbody_tpu.system import ParticleSystem
+from nbody_tpu.utils.profiling import (
+    BenchmarkRunRecord,
+    consume_global_phase_snapshot,
+    serialize_benchmark_run_records,
+)
+
+
+class Application:
+    """reference: src/main.cpp Application class."""
+
+    def __init__(self, options: AppCliOptions):
+        self.options = options
+        self.system = ParticleSystem()
+
+    # ---- top-level dispatch (reference: Application::run, main.cpp:47-81)
+
+    def run(self) -> int:
+        o = self.options
+        if o.list_algorithms:
+            from nbody_tpu.ops.forces import list_algorithms
+
+            print("Available force methods:")
+            for name, desc in list_algorithms():
+                print(f"  {name:14s} {desc}")
+            return 0
+
+        if o.show_diagnostics:
+            self._print_diagnostics()
+            return 0
+
+        if o.benchmark_mode:
+            return self.run_benchmark_mode()
+
+        return self.run_interactive()
+
+    def _print_diagnostics(self) -> None:
+        import jax
+
+        import nbody_tpu
+
+        print(f"nbody-tpu {nbody_tpu.__version__}")
+        print(f"jax {jax.__version__}, backend: {jax.default_backend()}")
+        for d in jax.devices():
+            print(f"  device: {d}")
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            if "bytes_limit" in stats:
+                print(f"  memory limit: {stats['bytes_limit'] / 2**30:.1f} GiB")
+        except Exception:
+            pass
+        from nbody_tpu.utils.hdf5_io import HAVE_HDF5
+
+        print(f"hdf5 support: {HAVE_HDF5}")
+
+    # ---- shared init (reference: main.cpp:344-359) ------------------------
+
+    def _initialize_system(self) -> None:
+        o = self.options
+        self.system.initialize(o.to_config())
+        if o.import_path:
+            if o.import_path.endswith((".h5", ".hdf5")):
+                from nbody_tpu.utils.hdf5_io import HDF5IO
+
+                self.system.set_state(HDF5IO.import_from_file(o.import_path))
+            else:
+                self.system.load_state(o.import_path)
+
+    def _export_if_requested(self) -> None:
+        o = self.options
+        if not o.export_path:
+            return
+        if o.export_format == "hdf5" or o.export_path.endswith((".h5", ".hdf5")):
+            from nbody_tpu.utils.hdf5_io import HDF5IO
+
+            HDF5IO.export_to_file(o.export_path, self.system.get_state())
+        else:
+            self.system.save_state(o.export_path)
+
+    # ---- benchmark mode (reference: runBenchmarkMode, main.cpp:335-416) ---
+
+    def run_benchmark_mode(self) -> int:
+        o = self.options
+        self._initialize_system()
+        consume_global_phase_snapshot()  # drain profiler (main.cpp:361)
+
+        # warm-up: one step to pay XLA compilation outside the timed loop
+        self.system.update()
+        self.system.block_until_ready()
+
+        steps = o.benchmark_steps
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            self.system.update()
+        self.system.block_until_ready()
+        wall = time.perf_counter() - t0
+
+        self._export_if_requested()
+
+        record = BenchmarkRunRecord(
+            name="app.benchmark",
+            method=o.force_method.cli_name,
+            particle_count=o.particle_count,
+            iterations=steps,
+            metrics={
+                "wall_time_ms": wall * 1e3,
+                "wall_time_ms_per_step": wall * 1e3 / steps,
+                "steps_per_sec": steps / wall,
+            },
+            params={
+                "dt": str(o.dt),
+                "G": str(o.G),
+                "softening": str(o.softening),
+                "theta": str(o.barnes_hut_theta),
+                "cell_size": str(o.spatial_hash_cell_size),
+                "cutoff": str(o.spatial_hash_cutoff),
+                "init": o.init_distribution.name.lower(),
+            },
+        )
+        record.attach_phase_snapshot(consume_global_phase_snapshot())
+        out = serialize_benchmark_run_records([record])
+        print(out)
+        if o.benchmark_output_path:
+            with open(o.benchmark_output_path, "w") as f:
+                f.write(out + "\n")
+        return 0
+
+    # ---- interactive/render loop (reference: mainLoop, main.cpp:156-221) --
+
+    def run_interactive(self) -> int:
+        o = self.options
+        self._initialize_system()
+
+        renderer = None
+        panel = None
+        if o.render:
+            from nbody_tpu.render import Camera, PointRenderer, UIPanel
+            from nbody_tpu.render.stream import PointStream
+
+            camera = Camera()
+            renderer = PointRenderer(camera=camera)
+            panel = UIPanel()
+            stream = PointStream(self.system)
+
+        steps = o.steps if o.steps > 0 else 1000
+        fps_t0 = time.perf_counter()
+        fps_frames = 0
+        for frame in range(steps):
+            self.system.update()
+            fps_frames += 1
+            if renderer is not None:
+                snap = stream.latest()
+                img = renderer.render(snap.positions, snap.velocities)
+                if o.render_output:
+                    import os
+
+                    os.makedirs(o.render_output, exist_ok=True)
+                    renderer.save_png(
+                        img, f"{o.render_output}/frame_{frame:05d}.png"
+                    )
+            now = time.perf_counter()
+            if now - fps_t0 >= 1.0:  # per-second stats (main.cpp:161-178)
+                self.system.block_until_ready()
+                fps = fps_frames / (now - fps_t0)
+                line = (
+                    f"t={self.system.simulation_time:.3f} "
+                    f"N={self.system.particle_count} "
+                    f"{o.force_method.cli_name} {fps:.1f} steps/s"
+                )
+                if panel is not None:
+                    panel.set_stats(
+                        fps=fps,
+                        particle_count=self.system.particle_count,
+                        method=o.force_method.cli_name,
+                        sim_time=self.system.simulation_time,
+                    )
+                print(line, file=sys.stderr)
+                fps_t0, fps_frames = now, 0
+
+        self.system.block_until_ready()
+        self._export_if_requested()
+        summary = {
+            "steps": steps,
+            "final_time": self.system.simulation_time,
+            "total_energy": self.system.compute_total_energy()
+            if self.system.particle_count <= 100_000
+            else None,
+        }
+        print(json.dumps(summary))
+        return 0

@@ -1,0 +1,176 @@
+"""Sorted-window sweep engine for short-range pair interactions.
+
+Shared machinery for the spatial-hash force and the Barnes-Hut near field.
+
+Motivation (measured on TPU v5e): XLA random gathers run at ~1e8
+elements/s, so a gather-per-candidate neighbor sweep at 1M particles costs
+tens of seconds. This engine is gather-free on the hot path:
+
+  1. Sort particles by row-major cell id (x major, z fastest). All
+     particles of any contiguous z-run of cells are then CONTIGUOUS in the
+     sorted arrays.
+  2. For a block of B consecutive sorted targets and a fixed (dx, dy)
+     xy-offset, every source the block needs lives in one contiguous window
+     of the sorted array (the neighbor column's z-run). The window is a
+     ``dynamic_slice`` — a linear DMA, not a gather.
+  3. Pair validity is decided by exact cell-coordinate equality against the
+     sliced coordinate window (sx == tx+dx ∧ sy == ty+dy ∧ |sz − tz| ≤ hw),
+     so a misplaced window can only MISS pairs, never double count; misses
+     are counted in ``overflow`` (raise ``window`` until it reads 0).
+
+This replaces the reference's per-cell lists + 27-cell SIMT sweep
+(reference: src/cuda/force_spatial_hash.cu:52-152) with dense VPU tiles,
+and is the XLA staging form of the eventual Pallas kernel (dynamic_slice →
+double-buffered DMA with scalar prefetch).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SortedGrid:
+    """Cell-sorted particle arrays + segment index.
+
+    order:      (N,) sort permutation (original → sorted is order[i])
+    psort:      (N, 4) x, y, z, mass in sorted order
+    csort:      (N, 3) int32 cell coords in sorted order
+    cell_start: (C + 1,) first sorted index of each linear cell id
+                (monotone; empty cells point at the next occupied one;
+                sentinel n at the end)
+    """
+
+    order: jax.Array
+    psort: jax.Array
+    csort: jax.Array
+    cell_start: jax.Array
+
+
+def build_sorted_grid(
+    pos: jax.Array, mass: jax.Array, coords: jax.Array, d: int
+) -> SortedGrid:
+    """Counting sort by cell id (the XLA form of the reference's histogram +
+    exclusive_scan + scatter pipeline, force_spatial_hash.cu:52-80)."""
+    n = pos.shape[0]
+    num_cells = d * d * d
+    ids = (coords[:, 0] * d + coords[:, 1]) * d + coords[:, 2]
+    order = jnp.argsort(ids).astype(jnp.int32)
+    sorted_ids = ids[order]
+    arange = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.full((num_cells + 1,), n, jnp.int32).at[sorted_ids].min(arange)
+    # empty cells inherit the next occupied cell's start (reverse cummin)
+    cell_start = jnp.flip(
+        jax.lax.cummin(jnp.flip(first))
+    )
+    psort = jnp.concatenate([pos, mass[:, None]], axis=-1)[order]
+    return SortedGrid(
+        order=order,
+        psort=psort,
+        csort=coords[order],
+        cell_start=cell_start,
+    )
+
+
+def window_sweep(
+    grid: SortedGrid,
+    *,
+    d: int,
+    xy_offsets: Tuple[Tuple[int, int], ...],
+    z_halfwidth: int,
+    pair_weight: Callable[[jax.Array, jax.Array], jax.Array],
+    window: int = 1024,
+    block_size: int = 256,
+):
+    """Σ_j w(r²_raw, m_j)·(x_j − x_i) over the neighbor windows.
+
+    Returns (acc (N, 3) in ORIGINAL particle order — un-scaled by G,
+    overflow count). ``pair_weight(r2_raw, m_j)`` runs on (B, W) tiles;
+    self/coincident pairs (r2_raw == 0) are masked by the engine.
+
+    Not jitted itself — callers trace it inside their own jitted force
+    function (all arguments after ``grid`` must be Python constants there).
+    """
+    n = grid.psort.shape[0]
+    num_cells = d * d * d
+    b = min(block_size, max(n, 1))
+    w = window
+    n_pad = -(-n // b) * b
+
+    # Source arrays padded at the tail so windows never run off the end;
+    # sentinel coords never match a real cell.
+    psrc = jnp.pad(grid.psort, ((0, w), (0, 0)))
+    csrc = jnp.pad(grid.csort, ((0, w), (0, 0)), constant_values=-(10 * d))
+
+    # Target blocks (padded with non-matching sentinel coords).
+    tpos = jnp.pad(grid.psort[:, :3], ((0, n_pad - n), (0, 0)))
+    tcrd = jnp.pad(
+        grid.csort, ((0, n_pad - n), (0, 0)), constant_values=-(20 * d)
+    )
+    tpos_b = tpos.reshape(n_pad // b, b, 3)
+    tcrd_b = tcrd.reshape(n_pad // b, b, 3)
+
+    cell_start = grid.cell_start
+    hw = z_halfwidth
+
+    def one_block(args):
+        tp, tc = args  # (b, 3) float, (b, 3) int
+        acc = jnp.zeros((b, 3), tp.dtype)
+        over = jnp.zeros((), jnp.int32)
+        # anchor/extent cells from the first/last REAL target in the block
+        first = tc[0]
+        last_idx = jnp.argmax(
+            jnp.where(tc[:, 0] > -(15 * d), jnp.arange(b), -1)
+        )
+        last = tc[last_idx]
+        for dx, dy in xy_offsets:
+            nx0, ny0 = first[0] + dx, first[1] + dy
+            nx1, ny1 = last[0] + dx, last[1] + dy
+            base0 = jnp.clip(
+                (nx0 * d + ny0) * d + jnp.maximum(first[2] - hw, 0),
+                0,
+                num_cells,
+            )
+            base1 = jnp.clip(
+                (nx1 * d + ny1) * d + jnp.minimum(last[2] + hw, d - 1) + 1,
+                0,
+                num_cells,
+            )
+            win_start = cell_start[base0]
+            needed_end = cell_start[base1]
+            over = over + jnp.maximum(needed_end - win_start - w, 0)
+
+            zero = jnp.zeros((), win_start.dtype)
+            sp = jax.lax.dynamic_slice(psrc, (win_start, zero), (w, 4))
+            sc = jax.lax.dynamic_slice(csrc, (win_start, zero), (w, 3))
+
+            match = (
+                (sc[None, :, 0] == tc[:, 0:1] + dx)
+                & (sc[None, :, 1] == tc[:, 1:2] + dy)
+                & (jnp.abs(sc[None, :, 2] - tc[:, 2:3]) <= hw)
+            )  # (b, w)
+            dvec = sp[None, :, :3] - tp[:, None, :]  # (b, w, 3)
+            r2_raw = jnp.sum(dvec * dvec, axis=-1)
+            wgt = pair_weight(r2_raw, sp[None, :, 3])
+            wgt = jnp.where(match & (r2_raw > 0.0), wgt, 0.0)
+            acc = acc + jnp.einsum("bw,bwd->bd", wgt, dvec)
+        return acc, over
+
+    acc_blocks, over_blocks = jax.lax.map(one_block, (tpos_b, tcrd_b))
+    acc_sorted = acc_blocks.reshape(n_pad, 3)[:n]
+    acc = jnp.zeros((n, 3), acc_sorted.dtype).at[grid.order].set(acc_sorted)
+    return acc, jnp.sum(over_blocks)
+
+
+def xy_ball(ws: int) -> Tuple[Tuple[int, int], ...]:
+    """All (2ws+1)² xy offsets of the Chebyshev ball."""
+    r = range(-ws, ws + 1)
+    return tuple((x, y) for x in r for y in r)

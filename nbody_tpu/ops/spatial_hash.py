@@ -121,16 +121,6 @@ def build_spatial_grid(
     )
 
 
-# The 27 static neighbor offsets (reference: force_spatial_hash.cu:97-111
-# triple loop; here a compile-time constant table).
-_OFFSETS = [
-    (dx, dy, dz)
-    for dx in (-1, 0, 1)
-    for dy in (-1, 0, 1)
-    for dz in (-1, 0, 1)
-]
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -139,7 +129,7 @@ _OFFSETS = [
         "cutoff",
         "cell_size",
         "cap",
-        "max_per_cell",
+        "window",
         "block_size",
     ),
 )
@@ -152,74 +142,48 @@ def spatial_hash_forces(
     cutoff: float = 2.0,
     cell_size: float = 1.0,
     cap: int = 64,
-    max_per_cell: int = 64,
-    block_size: int = 512,
+    window: int = 2048,
+    block_size: int = 256,
 ) -> jax.Array:
-    """Short-range forces with cutoff (reference: force_spatial_hash.cu:83-152)."""
-    n = pos.shape[0]
-    grid = build_spatial_grid(
-        pos, cell_size=cell_size, cap=cap, max_per_cell=max_per_cell
+    """Short-range forces with cutoff (reference: force_spatial_hash.cu:83-152).
+
+    Hot path is the gather-free sorted-window sweep (see
+    nbody_tpu/ops/sorted_window.py): 9 xy-offsets × contiguous z-run
+    windows, cutoff tested on the raw squared distance BEFORE softening is
+    added, self pairs skipped — the same pair predicate as the reference
+    kernel (force_spatial_hash.cu:120-139).
+    """
+    from nbody_tpu.ops.sorted_window import (
+        build_sorted_grid,
+        window_sweep,
+        xy_ball,
     )
-    K = max_per_cell
+
+    lo = jnp.min(pos, axis=0)
+    hi = jnp.max(pos, axis=0)
+    dims = jnp.clip(jnp.ceil((hi - lo) / cell_size).astype(jnp.int32), 1, cap)
+    coords = jnp.clip(
+        jnp.floor((pos - lo) / cell_size).astype(jnp.int32), 0, dims - 1
+    )
+    grid = build_sorted_grid(pos, mass, coords, cap)
+
     eps2 = softening * softening
     cut2 = cutoff * cutoff
 
-    # Work in sorted order: neighbor candidates are then contiguous runs.
-    psort = pos[grid.order]            # (N, 3)
-    msort = mass[grid.order]           # (N,)
-    coords_sorted = jnp.clip(
-        jnp.floor((psort - grid.lo) / cell_size).astype(jnp.int32),
-        0,
-        grid.dims - 1,
-    )
-
-    b = min(block_size, max(n, 1))
-    n_pad = -(-n // b) * b
-    pad = n_pad - n
-    psort_p = jnp.pad(psort, ((0, pad), (0, 0)))
-    coords_p = jnp.pad(coords_sorted, ((0, pad), (0, 0)))
-    # Padded targets use an out-of-range cell so every neighbor is masked.
-    coords_p = coords_p.at[n:].set(jnp.int32(-1000)) if pad else coords_p
-
-    offsets = jnp.asarray(_OFFSETS, jnp.int32)     # (27, 3)
-    slot = jnp.arange(K, dtype=jnp.int32)          # (K,)
-
-    def one_block(args):
-        pb, cb = args                              # (b,3) positions, (b,3) coords
-        ncoords = cb[:, None, :] + offsets[None, :, :]        # (b, 27, 3)
-        in_bounds = jnp.all(
-            (ncoords >= 0) & (ncoords < grid.dims), axis=-1
-        )                                                      # (b, 27)
-        ncid = cell_index(jnp.clip(ncoords, 0, cap - 1), cap)  # (b, 27)
-        start = grid.cell_start[ncid]                          # (b, 27)
-        count = jnp.minimum(grid.cell_count[ncid], K)          # (b, 27)
-        cand = start[:, :, None] + slot[None, None, :]         # (b, 27, K)
-        valid = (slot[None, None, :] < count[:, :, None]) & in_bounds[
-            :, :, None
-        ]
-        cand = jnp.where(valid, cand, 0)
-        pj = psort[cand]                                       # (b, 27, K, 3)
-        mj = msort[cand]                                       # (b, 27, K)
-
-        d = pj - pb[:, None, None, :]                          # (b, 27, K, 3)
-        r2_raw = jnp.sum(d * d, axis=-1)                       # (b, 27, K)
-        # cutoff on the raw distance BEFORE softening, self/coincident
-        # excluded (reference: force_spatial_hash.cu:120-139).
-        keep = valid & (r2_raw <= cut2) & (r2_raw > 0.0)
+    def pair_weight(r2_raw, mj):
         inv_r = jax.lax.rsqrt(r2_raw + eps2)
-        w = jnp.where(keep, mj * inv_r * inv_r * inv_r, 0.0)
-        return jnp.einsum("bok,bokd->bd", w, d)                # (b, 3)
+        return jnp.where(r2_raw <= cut2, mj * inv_r * inv_r * inv_r, 0.0)
 
-    acc_sorted = jax.lax.map(
-        one_block,
-        (
-            psort_p.reshape(n_pad // b, b, 3),
-            coords_p.reshape(n_pad // b, b, 3),
-        ),
-    ).reshape(n_pad, 3)[:n]
-
-    acc = jnp.zeros_like(pos).at[grid.order].set(G * acc_sorted)
-    return acc
+    acc, _overflow = window_sweep(
+        grid,
+        d=cap,
+        xy_offsets=xy_ball(1),
+        z_halfwidth=1,
+        pair_weight=pair_weight,
+        window=window,
+        block_size=block_size,
+    )
+    return G * acc
 
 
 def make_spatial_hash_forces(config: SimulationConfig):
@@ -230,7 +194,8 @@ def make_spatial_hash_forces(config: SimulationConfig):
     cutoff = config.spatial_hash_cutoff
     cell = config.spatial_hash_cell_size
     cap = config.hash_max_grid_dim
-    K = config.hash_max_per_cell
+    # window must cover block + neighbor z-runs; scale with the per-cell cap
+    window = max(2048, 8 * config.hash_max_per_cell)
 
     def force_fn(pos, mass):
         return spatial_hash_forces(
@@ -241,7 +206,7 @@ def make_spatial_hash_forces(config: SimulationConfig):
             cutoff=cutoff,
             cell_size=cell,
             cap=cap,
-            max_per_cell=K,
+            window=window,
         )
 
     return force_fn

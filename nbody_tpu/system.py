@@ -129,18 +129,33 @@ class ParticleSystem:
         self._rebuild_strategy()
 
     def set_gravitational_constant(self, G: float) -> None:
+        from nbody_tpu.errors import validate_gravitational_constant
+
+        validate_gravitational_constant(G)
         self._set_param(G=float(G))
 
     def set_softening(self, eps: float) -> None:
+        from nbody_tpu.errors import validate_softening
+
+        validate_softening(eps)
         self._set_param(softening=float(eps))
 
     def set_theta(self, theta: float) -> None:
+        from nbody_tpu.errors import validate_theta
+
+        # Validated regardless of the active method, matching the
+        # reference's setter (particle_system.cpp:173-207).
+        validate_theta(theta)
         self._set_param(barnes_hut_theta=float(theta))
 
     def set_cell_size(self, cell_size: float) -> None:
+        if not (cell_size > 0):
+            raise ValidationError("Spatial hash cell size must be positive")
         self._set_param(spatial_hash_cell_size=float(cell_size))
 
     def set_cutoff(self, cutoff: float) -> None:
+        if not (cutoff > 0):
+            raise ValidationError("Spatial hash cutoff must be positive")
         self._set_param(spatial_hash_cutoff=float(cutoff))
 
     # ---- accessors -------------------------------------------------------

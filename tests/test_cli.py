@@ -1,0 +1,156 @@
+"""CLI tests (reference: tests/test_app_cli.cpp): flag parsing, unknown
+flag/method rejection, positional count, export/import options, parse-time
+validation, plus end-to-end app runs (benchmark mode, list-algorithms).
+"""
+
+import json
+
+import pytest
+
+from nbody_tpu.cli import (
+    app_cli_usage,
+    main,
+    parse_app_cli_options,
+)
+from nbody_tpu.errors import ValidationError
+from nbody_tpu.types import ForceMethod, InitDistribution
+
+
+class TestParsing:
+    def test_defaults(self):
+        o = parse_app_cli_options([])
+        assert o.particle_count == 10_000
+        assert o.force_method == ForceMethod.DIRECT_N2
+        assert not o.benchmark_mode
+
+    def test_all_simulation_flags(self):
+        o = parse_app_cli_options(
+            [
+                "--particles", "5000", "--method", "barnes-hut",
+                "--dt", "0.01", "--gravity", "2.0", "--softening", "0.2",
+                "--theta", "0.7", "--cell-size", "1.5", "--cutoff", "3.0",
+                "--init", "disk", "--seed", "7",
+            ]
+        )
+        assert o.particle_count == 5000
+        assert o.force_method == ForceMethod.BARNES_HUT
+        assert o.dt == 0.01 and o.G == 2.0 and o.softening == 0.2
+        assert o.barnes_hut_theta == 0.7
+        assert o.spatial_hash_cell_size == 1.5
+        assert o.spatial_hash_cutoff == 3.0
+        assert o.init_distribution == InitDistribution.DISK
+        assert o.seed == 7
+
+    def test_positional_count(self):
+        assert parse_app_cli_options(["12345"]).particle_count == 12345
+
+    def test_benchmark_flags(self):
+        o = parse_app_cli_options(
+            ["--benchmark-steps", "50", "--benchmark-output", "/tmp/x.json"]
+        )
+        assert o.benchmark_mode
+        assert o.benchmark_steps == 50
+        assert o.benchmark_output_path == "/tmp/x.json"
+
+    def test_export_import(self):
+        o = parse_app_cli_options(
+            ["--export", "a.nbody", "--export-format", "hdf5",
+             "--import", "b.h5"]
+        )
+        assert o.export_path == "a.nbody"
+        assert o.export_format == "hdf5"
+        assert o.import_path == "b.h5"
+
+    def test_unknown_flag_rejected(self):
+        with pytest.raises(ValidationError, match="Unknown argument"):
+            parse_app_cli_options(["--frobnicate"])
+
+    def test_unknown_method_rejected(self):
+        with pytest.raises(ValidationError, match="Unknown force method"):
+            parse_app_cli_options(["--method", "magic"])
+
+    def test_missing_value_rejected(self):
+        with pytest.raises(ValidationError, match="Missing value"):
+            parse_app_cli_options(["--particles"])
+
+    def test_bad_numeric_rejected(self):
+        with pytest.raises(ValidationError, match="Invalid numeric"):
+            parse_app_cli_options(["--particles", "lots"])
+
+    @pytest.mark.parametrize(
+        "argv",
+        [
+            ["--particles", "0"],
+            ["--dt", "-1"],
+            ["--dt", "2.0"],
+            ["--theta", "5"],
+            ["--gravity", "-1"],
+            ["--cell-size", "0"],
+            ["--cutoff", "-2"],
+            ["--benchmark-steps", "0"],
+            ["--export-format", "xml"],
+        ],
+    )
+    def test_parse_time_validation(self, argv):
+        with pytest.raises(ValidationError):
+            parse_app_cli_options(argv)
+
+    def test_usage_mentions_all_flags(self):
+        usage = app_cli_usage()
+        for flag in (
+            "--particles", "--method", "--dt", "--gravity", "--softening",
+            "--theta", "--cell-size", "--cutoff", "--benchmark",
+            "--benchmark-steps", "--benchmark-output", "--export",
+            "--export-format", "--import", "--list-algorithms",
+            "--diagnostics", "--help",
+        ):
+            assert flag in usage
+
+
+class TestAppEndToEnd:
+    def test_help_exits_zero(self, capsys):
+        assert main(["--help"]) == 0
+        assert "Usage" in capsys.readouterr().out
+
+    def test_bad_flag_exits_two(self, capsys):
+        assert main(["--nope"]) == 2
+        assert "error" in capsys.readouterr().err
+
+    def test_list_algorithms(self, capsys):
+        assert main(["--list-algorithms"]) == 0
+        out = capsys.readouterr().out
+        assert "direct-n2" in out and "barnes-hut" in out and "spatial-hash" in out
+
+    def test_diagnostics(self, capsys):
+        assert main(["--diagnostics"]) == 0
+        assert "backend" in capsys.readouterr().out
+
+    def test_benchmark_mode_emits_json(self, capsys, tmp_path):
+        out_path = str(tmp_path / "bench.json")
+        rc = main(
+            ["--particles", "500", "--benchmark-steps", "5",
+             "--benchmark-output", out_path]
+        )
+        assert rc == 0
+        doc = json.loads(capsys.readouterr().out)
+        runs = doc["benchmark_runs"]
+        assert len(runs) == 1
+        rec = runs[0]
+        assert rec["method"] == "direct-n2"
+        assert rec["particle_count"] == 500
+        assert rec["iterations"] == 5
+        assert rec["metrics"]["steps_per_sec"] > 0
+        with open(out_path) as f:
+            assert json.load(f) == doc
+
+    def test_benchmark_export_roundtrip(self, capsys, tmp_path):
+        ckpt = str(tmp_path / "state.nbody")
+        assert main(
+            ["--particles", "300", "--benchmark-steps", "3",
+             "--export", ckpt]
+        ) == 0
+        capsys.readouterr()
+        assert main(
+            ["--particles", "300", "--benchmark-steps", "3",
+             "--import", ckpt]
+        ) == 0

@@ -79,7 +79,7 @@ def test_matches_bruteforce_cutoff(key):
     got = np.asarray(
         spatial_hash_forces(
             s.pos, s.mass, G, eps,
-            cutoff=cutoff, cell_size=1.5, cap=16, max_per_cell=256,
+            cutoff=cutoff, cell_size=1.5, cap=16, window=1024,
         )
     )
     ref = brute_force_cutoff(s.pos, s.mass, G, eps, cutoff)
@@ -89,7 +89,7 @@ def test_matches_bruteforce_cutoff(key):
 def test_momentum_conservation(key):
     s = init_spherical(key, 300, SphericalDistParams(radius=3.0))
     acc = spatial_hash_forces(
-        s.pos, s.mass, 1.0, 0.1, cutoff=1.0, cell_size=1.0, max_per_cell=256
+        s.pos, s.mass, 1.0, 0.1, cutoff=1.0, cell_size=1.0, window=1024
     )
     net = np.asarray(jnp.sum(s.mass[:, None] * acc, axis=0))
     assert np.abs(net).max() < 1e-3

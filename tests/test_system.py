@@ -1,0 +1,133 @@
+"""ParticleSystem facade tests (reference: facade behavior in
+src/core/particle_system.cpp; pause/resume freeze property from
+tests/test_serialization.cpp).
+"""
+
+import numpy as np
+import pytest
+
+from nbody_tpu import (
+    ForceMethod,
+    InitDistribution,
+    ParticleSystem,
+    SimulationConfig,
+    ValidationError,
+)
+
+
+@pytest.fixture
+def small_system():
+    sys_ = ParticleSystem()
+    sys_.initialize(SimulationConfig(particle_count=200, seed=7))
+    return sys_
+
+
+def test_requires_initialize():
+    s = ParticleSystem()
+    with pytest.raises(ValidationError):
+        s.update()
+    with pytest.raises(ValidationError):
+        _ = s.particle_count
+
+
+def test_initialize_computes_forces(small_system):
+    acc = np.asarray(small_system.state.acc)
+    assert np.isfinite(acc).all()
+    assert np.abs(acc).max() > 0  # initial forces are populated
+
+
+def test_update_advances_time(small_system):
+    t0 = small_system.simulation_time
+    small_system.update()
+    assert small_system.simulation_time > t0
+
+
+def test_pause_resume_freeze(small_system):
+    """Pause freezes state exactly (reference: pause/resume property,
+    test_serialization.cpp)."""
+    small_system.update()
+    small_system.pause()
+    snap = small_system.get_state()
+    small_system.update()
+    small_system.update()
+    assert small_system.get_state() == snap
+    small_system.resume()
+    small_system.update()
+    assert small_system.get_state() != snap
+
+
+def test_reset_restores_initial(small_system):
+    first = small_system.positions().copy()
+    for _ in range(5):
+        small_system.update()
+    small_system.reset()
+    np.testing.assert_allclose(small_system.positions(), first, atol=1e-6)
+    assert small_system.simulation_time == 0.0
+
+
+def test_set_force_method_live(small_system):
+    for method in (
+        ForceMethod.SPATIAL_HASH,
+        ForceMethod.BARNES_HUT,
+        ForceMethod.DIRECT_N2,
+    ):
+        small_system.set_force_method(method)
+        small_system.update()
+        assert np.isfinite(small_system.positions()).all()
+
+
+def test_setters_validate(small_system):
+    with pytest.raises(ValidationError):
+        small_system.set_time_step(-1.0)
+    with pytest.raises(ValidationError):
+        small_system.set_gravitational_constant(0.0)
+    with pytest.raises(ValidationError):
+        small_system.set_theta(3.0)
+    small_system.set_softening(0.2)
+    assert small_system.config.softening == 0.2
+
+
+def test_state_round_trip_via_file(tmp_path, small_system):
+    for _ in range(3):
+        small_system.update()
+    path = str(tmp_path / "sys.nbody")
+    small_system.save_state(path)
+    other = ParticleSystem()
+    other.load_state(path)
+    assert other.get_state() == small_system.get_state()
+    # both continue stepping identically (same force method/params)
+    small_system.update()
+    other.update()
+    np.testing.assert_allclose(
+        other.positions(), small_system.positions(), atol=1e-5
+    )
+
+
+def test_energy_queries(small_system):
+    ke = small_system.compute_kinetic_energy()
+    pe = small_system.compute_potential_energy()
+    te = small_system.compute_total_energy()
+    assert np.isfinite([ke, pe, te]).all()
+    assert abs(te - (ke + pe)) < 1e-3
+    assert pe < 0  # gravity is attractive
+
+
+def test_set_state_reroutes_params(small_system):
+    snap = small_system.get_state()
+    snap.G = 3.0
+    snap.force_method = ForceMethod.SPATIAL_HASH
+    small_system.set_state(snap)
+    assert small_system.config.G == 3.0
+    assert small_system.config.force_method == ForceMethod.SPATIAL_HASH
+    small_system.update()
+
+
+def test_plummer_init_runs():
+    sys_ = ParticleSystem()
+    sys_.initialize(
+        SimulationConfig(
+            particle_count=300, init_distribution=InitDistribution.PLUMMER
+        )
+    )
+    sys_.update()
+    assert np.isfinite(sys_.positions()).all()
