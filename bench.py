@@ -1,0 +1,87 @@
+"""Headline benchmark: 1M-particle Barnes-Hut steps/sec on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline: the reference (LessUp/n-body) runs 1M-particle Barnes-Hut at
+25 FPS (= 25 Verlet steps/s) on an RTX 3080 (BASELINE.md). The timed loop
+is a lax.scan of full Verlet steps inside ONE device program, matching the
+reference's one-update-per-frame semantics (src/main.cpp:184-192).
+
+Env knobs: NBODY_BENCH_SMALL=1 → 100K particles quick smoke;
+NBODY_BENCH_METHOD ∈ {barnes-hut, spatial-hash, direct-n2}.
+"""
+
+import json
+import os
+import time
+
+import jax
+
+
+def main():
+    import jax.numpy as jnp
+
+    from nbody_tpu.models.distributions import init_spherical
+    from nbody_tpu.ops.forces import make_force_fn
+    from nbody_tpu.ops.integrator import initialize_forces, make_multi_step
+    from nbody_tpu.types import ForceMethod, SimulationConfig, SphericalDistParams
+
+    small = os.environ.get("NBODY_BENCH_SMALL") == "1"
+    method = ForceMethod.parse(
+        os.environ.get("NBODY_BENCH_METHOD", "barnes-hut")
+    )
+    n = 100_000 if small else 1_000_000
+    baseline = {  # reference steps/s on RTX 3080 (BASELINE.md)
+        (ForceMethod.BARNES_HUT, 1_000_000): 25.0,
+        (ForceMethod.BARNES_HUT, 100_000): 60.0,
+        (ForceMethod.SPATIAL_HASH, 1_000_000): 60.0,
+        (ForceMethod.SPATIAL_HASH, 100_000): 90.0,
+        (ForceMethod.DIRECT_N2, 1_000_000): 1.0,
+        (ForceMethod.DIRECT_N2, 100_000): 10.0,
+    }[(method, n)]
+
+    config = SimulationConfig(
+        particle_count=n,
+        force_method=method,
+        bh_max_level=6 if not small else 5,
+        dt=1e-3,
+    )
+    force_fn = make_force_fn(config)
+
+    state = init_spherical(
+        jax.random.PRNGKey(42), n, SphericalDistParams(radius=10.0)
+    )
+    state = jax.jit(lambda s: initialize_forces(s, force_fn))(state)
+    state.block_until_ready()
+
+    steps = 10 if not small else 20
+    multi = jax.jit(make_multi_step(force_fn, config.dt, steps))
+    # warm-up compile; the scalar readback defeats async dispatch layers
+    # that under-report on block_until_ready (observed through the axon
+    # relay), so timings below include a real device round-trip.
+    out = multi(state)
+    float(out.time)
+    # timed
+    t0 = time.perf_counter()
+    out = multi(out)
+    checksum = float(jnp.sum(out.pos[0]))
+    wall = time.perf_counter() - t0
+    assert checksum == checksum  # not NaN
+    assert bool(jnp.isfinite(out.pos).all())
+
+    steps_per_sec = steps / wall
+    print(
+        json.dumps(
+            {
+                "metric": f"steps_per_sec_{n // 1000}k_{method.cli_name}",
+                "value": round(steps_per_sec, 3),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_sec / baseline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Sharded simulation step + energy.
+
+Builds the full Velocity Verlet step for a particle-sharded state:
+kinematic updates are local (elementwise over the sharded axis), forces
+come from the ring (direct) or from pjit-propagated sharded programs
+(hash / Barnes-Hut: the sorted-grid and pyramid builds go through XLA's
+SPMD partitioner, which inserts the all-to-all/psum collectives the sort
+and scatter need), and energies reduce with psum.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from nbody_tpu.parallel.mesh import PARTICLE_AXIS
+from nbody_tpu.parallel.ring import ring_direct_forces
+from nbody_tpu.state import ParticleState
+from nbody_tpu.types import ForceMethod, SimulationConfig
+
+
+def make_sharded_force_fn(
+    config: SimulationConfig, mesh: Mesh
+) -> Callable:
+    if config.force_method == ForceMethod.DIRECT_N2:
+
+        def force_fn(pos, mass):
+            return ring_direct_forces(
+                pos, mass, mesh, config.G, config.softening
+            )
+
+        return force_fn
+
+    # Hash / BH: single-program path under pjit; XLA's SPMD partitioner
+    # shards the dense sweeps and inserts collectives for sort/scatter.
+    from nbody_tpu.ops.forces import make_force_fn
+
+    inner = make_force_fn(config)
+
+    def force_fn(pos, mass):
+        acc = inner(pos, mass)
+        return jax.lax.with_sharding_constraint(
+            acc, jax.sharding.NamedSharding(mesh, P(PARTICLE_AXIS))
+        )
+
+    return force_fn
+
+
+def make_sharded_step(config: SimulationConfig, mesh: Mesh):
+    """Jitted full Verlet step for a sharded ParticleState."""
+    from nbody_tpu.ops.integrator import make_verlet_step
+
+    force_fn = make_sharded_force_fn(config, mesh)
+    step = make_verlet_step(force_fn, config.dt)
+    return jax.jit(step)
+
+
+def sharded_energy(
+    state: ParticleState,
+    mesh: Mesh,
+    G: float = 1.0,
+    softening: float = 0.1,
+):
+    """(KE, PE) with ring PE accumulation and psum reductions."""
+    axis = PARTICLE_AXIS
+    n_dev = mesh.devices.size
+    eps2 = softening * softening
+
+    def local(pos_l, vel_l, mass_l):
+        ke_l = 0.5 * jnp.sum(mass_l * jnp.sum(vel_l * vel_l, axis=-1))
+
+        def body(step, carry):
+            pe, pj, mj = carry
+            d = pj[None, :, :] - pos_l[:, None, :]
+            r2_raw = jnp.sum(d * d, axis=-1)
+            inv = jax.lax.rsqrt(r2_raw + eps2)
+            e = mass_l[:, None] * mj[None, :] * inv
+            e = jnp.where(r2_raw == 0.0, 0.0, e)
+            pe = pe + jnp.sum(e)
+            perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+            return (
+                pe,
+                jax.lax.ppermute(pj, axis, perm),
+                jax.lax.ppermute(mj, axis, perm),
+            )
+
+        pe0 = jax.lax.pvary(jnp.zeros((), pos_l.dtype), PARTICLE_AXIS)
+        pe_l, _, _ = jax.lax.fori_loop(0, n_dev, body, (pe0, pos_l, mass_l))
+        ke = jax.lax.psum(ke_l, axis)
+        pe = jax.lax.psum(-0.5 * G * pe_l, axis)
+        return ke, pe
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis)),
+            out_specs=(P(), P()),
+        )
+    )(state.pos, state.vel, state.mass)

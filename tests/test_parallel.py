@@ -1,0 +1,149 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh
+(conftest sets xla_force_host_platform_device_count=8; the reference has no
+counterpart — SURVEY.md §2.5).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbody_tpu.models import init_spherical
+from nbody_tpu.ops.direct import direct_forces_reference
+from nbody_tpu.ops.integrator import (
+    initialize_forces,
+    kinetic_energy,
+    make_verlet_step,
+    potential_energy,
+)
+from nbody_tpu.parallel import (
+    make_mesh,
+    make_sharded_step,
+    ring_direct_forces,
+    shard_state,
+    sharded_energy,
+)
+from nbody_tpu.parallel.mesh import pad_to_devices
+from nbody_tpu.types import ForceMethod, SimulationConfig, SphericalDistParams
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest should fake 8 CPU devices"
+    return make_mesh(8)
+
+
+def test_mesh_has_eight_devices(mesh):
+    assert mesh.devices.size == 8
+
+
+def test_ring_matches_direct(mesh, key):
+    s = init_spherical(key, 512, SphericalDistParams(radius=5.0))
+    ref = direct_forces_reference(s.pos, s.mass, 1.0, 0.1)
+    sharded = shard_state(s, mesh)
+    got = ring_direct_forces(sharded.pos, sharded.mass, mesh, 1.0, 0.1)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_sharded_step_matches_single(mesh, key):
+    """One sharded Verlet step == one single-device step."""
+    s = init_spherical(key, 256, SphericalDistParams(radius=3.0))
+    cfg = SimulationConfig(particle_count=256, dt=1e-3)
+
+    def force_fn(pos, mass):
+        from nbody_tpu.ops.direct import direct_forces
+
+        return direct_forces(pos, mass, cfg.G, cfg.softening)
+
+    single = make_verlet_step(force_fn, cfg.dt)(
+        initialize_forces(s, force_fn)
+    )
+
+    sharded0 = shard_state(initialize_forces(s, force_fn), mesh)
+    step = make_sharded_step(cfg, mesh)
+    sharded1 = step(sharded0)
+    np.testing.assert_allclose(
+        np.asarray(sharded1.pos), np.asarray(single.pos), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded1.vel), np.asarray(single.vel), atol=1e-5
+    )
+
+
+def test_sharded_energy_matches(mesh, key):
+    s = init_spherical(key, 512, SphericalDistParams(radius=4.0))
+    sharded = shard_state(s, mesh)
+    ke, pe = sharded_energy(sharded, mesh, 1.0, 0.1)
+    np.testing.assert_allclose(
+        float(ke), float(kinetic_energy(s)), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(pe), float(potential_energy(s.pos, s.mass, 1.0, 0.1)),
+        rtol=1e-4,
+    )
+
+
+def test_sharded_hash_step_compiles(mesh, key):
+    """Hash force under pjit SPMD partitioning runs on the mesh."""
+    s = init_spherical(key, 512, SphericalDistParams(radius=4.0))
+    cfg = SimulationConfig(
+        particle_count=512,
+        force_method=ForceMethod.SPATIAL_HASH,
+        hash_max_grid_dim=16,
+    )
+    sharded = shard_state(s, mesh)
+    step = make_sharded_step(cfg, mesh)
+    out = step(sharded)
+    assert np.isfinite(np.asarray(out.pos)).all()
+
+
+def test_sharded_bh_step_compiles(mesh, key):
+    s = init_spherical(key, 512, SphericalDistParams(radius=4.0))
+    cfg = SimulationConfig(
+        particle_count=512,
+        force_method=ForceMethod.BARNES_HUT,
+        bh_max_level=4,
+    )
+    sharded = shard_state(s, mesh)
+    step = make_sharded_step(cfg, mesh)
+    out = step(sharded)
+    assert np.isfinite(np.asarray(out.pos)).all()
+
+
+def test_pad_to_devices(key):
+    s = init_spherical(key, 250, SphericalDistParams(radius=3.0))
+    padded = pad_to_devices(s, 8)
+    assert padded.n == 256
+    assert float(padded.mass[250:].sum()) == 0.0
+
+
+def test_multi_step_energy_drift_sharded(mesh):
+    """Physics fidelity survives sharding: 8-device 2-body-ish cluster,
+    drift small over 200 steps."""
+    from nbody_tpu.models import init_disk
+    from nbody_tpu.types import DiskDistParams
+
+    s = init_disk(jax.random.PRNGKey(3), 64, DiskDistParams(radius=3.0))
+    cfg = SimulationConfig(particle_count=64, dt=1e-3)
+
+    def force_fn(pos, mass):
+        from nbody_tpu.ops.direct import direct_forces
+
+        return direct_forces(pos, mass, 1.0, 0.1)
+
+    s = initialize_forces(s, force_fn)
+    sharded = shard_state(s, mesh)
+    ke0, pe0 = sharded_energy(sharded, mesh, 1.0, 0.1)
+    e0 = float(ke0 + pe0)
+
+    from nbody_tpu.parallel.step import make_sharded_force_fn
+    from nbody_tpu.ops.integrator import make_multi_step
+
+    sharded_force = make_sharded_force_fn(cfg, mesh)
+    multi = jax.jit(make_multi_step(sharded_force, cfg.dt, 200))
+    sharded = multi(sharded)
+    ke1, pe1 = sharded_energy(sharded, mesh, 1.0, 0.1)
+    e1 = float(ke1 + pe1)
+    assert abs((e1 - e0) / e0) < 0.01
