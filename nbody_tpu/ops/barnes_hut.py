@@ -343,7 +343,15 @@ def _near_field(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("G", "softening", "theta", "levels", "window"),
+    static_argnames=(
+        "G",
+        "softening",
+        "theta",
+        "levels",
+        "window",
+        "near_engine",
+        "near_k",
+    ),
 )
 def barnes_hut_forces(
     pos,
@@ -354,14 +362,42 @@ def barnes_hut_forces(
     *,
     levels: int = 6,
     window: int = 2048,
+    near_engine: str = "tiles",
+    near_k: int = 16,
 ):
-    """Full BH acceleration: pyramid far field + exact near field."""
+    """Full BH acceleration: pyramid far field + exact near field.
+
+    near_engine: "tiles" (dense cell tiles — optimal at the low per-cell
+    occupancy the BH finest level is sized for) or "window" (sorted-window
+    sweep — for unusually dense scenes; raise ``window`` until its overflow
+    reads 0). ``near_k`` is the tiles-engine per-cell slot cap.
+    """
     ws = theta_to_ws(theta)
     pyr = build_pyramid(pos, mass, levels)
     a_far, j_far = far_field_grid(pyr, ws, G, softening, levels)
-    a_near, _over, coords = _near_field(
-        pos, mass, pyr.lo, pyr.cell, G, softening, ws, levels, window
-    )
+    if near_engine == "tiles":
+        from nbody_tpu.ops.tile_sweep import tile_near_field
+
+        d = 1 << levels
+        coords = jnp.clip(
+            ((pos - pyr.lo) / pyr.cell).astype(jnp.int32), 0, d - 1
+        )
+        a_near, _over = tile_near_field(
+            pos,
+            mass,
+            coords,
+            pyr.lo,
+            pyr.cell,
+            d=d,
+            ws=ws,
+            k=near_k,
+            G=G,
+            eps=softening,
+        )
+    else:
+        a_near, _over, coords = _near_field(
+            pos, mass, pyr.lo, pyr.cell, G, softening, ws, levels, window
+        )
     # Evaluate the local expansion at the particle: a(x) = A[c] + J[c]·(x−ctr)
     centers = pyr.lo + (coords.astype(pos.dtype) + 0.5) * pyr.cell
     a_cell = a_far[coords[:, 0], coords[:, 1], coords[:, 2]]
@@ -378,10 +414,27 @@ def make_barnes_hut_forces(config: SimulationConfig):
     theta = config.barnes_hut_theta
     levels = config.bh_max_level
     window = max(2048, 8 * config.hash_max_per_cell)
+    # Expected occupancy picks the near-field engine: dense tiles when cells
+    # are sparsely filled, sorted windows otherwise.
+    occ = config.particle_count / float(8**levels)
+    if occ <= 24.0:
+        near_engine = "tiles"
+        near_k = int(max(8, min(64, 6 * max(occ, 1.0))))
+    else:
+        near_engine = "window"
+        near_k = 16
 
     def force_fn(pos, mass):
         return barnes_hut_forces(
-            pos, mass, G, eps, theta, levels=levels, window=window
+            pos,
+            mass,
+            G,
+            eps,
+            theta,
+            levels=levels,
+            window=window,
+            near_engine=near_engine,
+            near_k=near_k,
         )
 
     return force_fn
