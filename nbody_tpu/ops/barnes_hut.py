@@ -149,119 +149,146 @@ def far_field_grid(
 ):
     """Far field as an ORDER-1 LOCAL EXPANSION per finest cell.
 
-    Returns (A, J): acceleration (d,d,d,3) and its Jacobian (d,d,d,3,3),
-    both about cell centers. Each level's accepted monopoles contribute
-    a += w·d and ∇a = w·(3·d⊗d/(r²+ε²) − I); the downward pass translates
-    the expansion to child centers EXACTLY (A_child = A + J·δ, J_child = J)
-    — no interpolation between cells with different source sets (the FMM
-    local-expansion trick, replacing the naive piecewise-constant
-    inheritance whose target-discretization error is O(θ) instead of
-    O(θ²)). Particles then evaluate a(x) = A[c] + J[c]·(x − center_c).
+    Returns (A, J6): acceleration (d,d,d,3) and its SYMMETRIC Jacobian in
+    6-component form (d,d,d,6) ordered [xx, yy, zz, xy, xz, yz], both about
+    cell centers. Each level's accepted monopoles contribute a += w·d and
+    ∇a = w·(3·d⊗d/(r²+ε²) − I); the downward pass translates the expansion
+    to child centers EXACTLY (A_child = A + J·δ, J_child = J) — no
+    interpolation between cells with different source sets (the FMM
+    local-expansion trick; a piecewise-constant inheritance would leave an
+    O(θ) target-discretization error). Particles evaluate
+    a(x) = A[c] + J[c]·(x − center_c).
+
+    Layout: all per-level sweeps run with the flattened cell axis LAST
+    (the TPU lane dimension) and the tiny child/component axes leading —
+    (8, c, P³) — so the VPU runs at full lane utilization. The 8×8 child
+    pairs are a static Python loop; per-pair acceptance is one scalar
+    multiply from the precomputed mask table.
     """
     po_np, accept_np = _window_offsets_and_masks(ws)
     po_all = jnp.asarray(po_np + ws)  # slice starts into the padded grid
-    accept_all = jnp.asarray(accept_np)
+    accept_f = jnp.asarray(accept_np.astype(np.float32))
     kids = np.array(
         [(x, y, z) for x in (0, 1) for y in (0, 1) for z in (0, 1)], np.int32
     )
+    dtype = pyr.masses[0].dtype
 
     acc = None  # (dl, dl, dl, 3) expansion value at the previous level
-    jac = None  # (dl, dl, dl, 3, 3) expansion gradient
-    eye = jnp.eye(3, dtype=pyr.masses[0].dtype)
+    jac = None  # (dl, dl, dl, 6) symmetric expansion gradient
     for lvl in range(1, levels + 1):
         dl = 1 << lvl
         p = dl // 2
+        pc = p * p * p
         s_l = pyr.cell * (1 << (levels - lvl))  # cell edge at this level
 
-        # Parent-major child grids: (p, p, p, 8) / (p, p, p, 8, 3)
+        # Child-major grids with cells flattened on lanes:
+        # m: (8, p, p, p) padded; s: (8, 3, p, p, p) padded.
         m = (
             pyr.masses[lvl]
             .reshape(p, 2, p, 2, p, 2)
-            .transpose(0, 2, 4, 1, 3, 5)
-            .reshape(p, p, p, 8)
+            .transpose(1, 3, 5, 0, 2, 4)
+            .reshape(8, p, p, p)
         )
         s = (
             pyr.msums[lvl]
             .reshape(p, 2, p, 2, p, 2, 3)
-            .transpose(0, 2, 4, 1, 3, 5, 6)
-            .reshape(p, p, p, 8, 3)
+            .transpose(1, 3, 5, 6, 0, 2, 4)
+            .reshape(8, 3, p, p, p)
         )
-        pad = [(ws, ws), (ws, ws), (ws, ws), (0, 0)]
-        m_pad = jnp.pad(m, pad)
-        s_pad = jnp.pad(s, pad + [(0, 0)])
+        pad3 = [(ws, ws), (ws, ws), (ws, ws)]
+        m_pad = jnp.pad(m, [(0, 0)] + pad3)
+        s_pad = jnp.pad(s, [(0, 0), (0, 0)] + pad3)
 
-        # Target child-cell centers: lo + (2q + kt + 0.5)·s_l
+        # Target child-cell centers: (8, 3, p³)
         q = jnp.stack(
             jnp.meshgrid(
                 jnp.arange(p), jnp.arange(p), jnp.arange(p), indexing="ij"
             ),
-            axis=-1,
-        ).astype(pyr.cell.dtype)  # (p, p, p, 3)
+            axis=0,
+        ).astype(dtype).reshape(3, pc)
         centers = (
-            pyr.lo
-            + (2.0 * q[:, :, :, None, :] + jnp.asarray(kids, q.dtype) + 0.5)
+            pyr.lo.reshape(3, 1)
+            + (2.0 * q[None, :, :] + jnp.asarray(kids, dtype)[:, :, None] + 0.5)
             * s_l
-        )  # (p, p, p, 8, 3)
+        )  # (8, 3, p³)
 
-        def body(carry, x, m_pad=m_pad, s_pad=s_pad, centers=centers, p=p):
-            po, accept = x  # (3,), (8, 8)
+        eps2 = eps * eps
+
+        def body(carry, x, m_pad=m_pad, s_pad=s_pad, centers=centers,
+                 p=p, pc=pc):
+            po, acc_tab = x  # (3,), (8, 8) float mask
             zero = jnp.zeros((), po.dtype)
             msrc = jax.lax.dynamic_slice(
-                m_pad, (po[0], po[1], po[2], zero), (p, p, p, 8)
-            )
+                m_pad, (zero, po[0], po[1], po[2]), (8, p, p, p)
+            ).reshape(8, pc)
             ssrc = jax.lax.dynamic_slice(
-                s_pad, (po[0], po[1], po[2], zero, zero), (p, p, p, 8, 3)
-            )
-            com = ssrc / jnp.maximum(msrc, 1e-30)[..., None]
+                s_pad, (zero, zero, po[0], po[1], po[2]), (8, 3, p, p, p)
+            ).reshape(8, 3, pc)
+            inv_m = 1.0 / jnp.maximum(msrc, 1e-30)   # (8, pc)
+            comx = ssrc[:, 0] * inv_m                # (8, pc) — ks on sublanes
+            comy = ssrc[:, 1] * inv_m
+            comz = ssrc[:, 2] * inv_m
             out_a, out_j = carry
+            a_rows = []
+            j_rows = []
             for kt in range(8):
-                dvec = com - centers[:, :, :, kt : kt + 1, :]  # (p,p,p,8,3)
-                r2 = jnp.sum(dvec * dvec, axis=-1) + eps * eps
-                inv2 = 1.0 / r2
+                dx = comx - centers[kt, 0]           # (8, pc)
+                dy = comy - centers[kt, 1]
+                dz = comz - centers[kt, 2]
+                r2 = dx * dx + dy * dy + dz * dz + eps2
                 inv = jax.lax.rsqrt(r2)
-                w = jnp.where(
-                    accept[kt][None, None, None, :] & (msrc > 0),
-                    msrc * inv * inv * inv,
-                    0.0,
-                )  # (p, p, p, 8)
-                out_a = out_a.at[:, :, :, kt, :].add(
-                    jnp.einsum("xyzs,xyzsd->xyzd", w, dvec)
-                )
-                # ∇a of the softened monopole: w·(3·d⊗d/(r²+ε²) − I)
-                dd = jnp.einsum(
-                    "xyzsd,xyzse->xyzsde", dvec, dvec
-                )  # (p,p,p,8,3,3)
-                out_j = out_j.at[:, :, :, kt, :, :].add(
-                    jnp.einsum(
-                        "xyzs,xyzsde->xyzde", w, 3.0 * dd * inv2[..., None, None]
+                inv2 = inv * inv
+                # empty cells: m = 0 ⇒ w = 0 (no NaNs: r2 ≥ ε²); acceptance
+                # is one broadcast multiply from the (8,) mask column.
+                w = (msrc * acc_tab[kt][:, None]) * (inv2 * inv)
+                t3 = 3.0 * w * inv2
+                a_rows.append(
+                    jnp.stack(
+                        [
+                            jnp.sum(w * dx, axis=0),
+                            jnp.sum(w * dy, axis=0),
+                            jnp.sum(w * dz, axis=0),
+                        ]
                     )
-                    - jnp.sum(w, axis=-1)[..., None, None] * eye
                 )
+                wsum = jnp.sum(w, axis=0)
+                j_rows.append(
+                    jnp.stack(
+                        [
+                            jnp.sum(t3 * dx * dx, axis=0) - wsum,
+                            jnp.sum(t3 * dy * dy, axis=0) - wsum,
+                            jnp.sum(t3 * dz * dz, axis=0) - wsum,
+                            jnp.sum(t3 * dx * dy, axis=0),
+                            jnp.sum(t3 * dx * dz, axis=0),
+                            jnp.sum(t3 * dy * dz, axis=0),
+                        ]
+                    )
+                )
+            out_a = out_a + jnp.stack(a_rows, axis=0)   # (8, 3, pc)
+            out_j = out_j + jnp.stack(j_rows, axis=0)   # (8, 6, pc)
             return (out_a, out_j), None
 
-        acc_pm = jnp.zeros((p, p, p, 8, 3), pyr.masses[0].dtype)
-        jac_pm = jnp.zeros((p, p, p, 8, 3, 3), pyr.masses[0].dtype)
+        acc_pm = jnp.zeros((8, 3, pc), dtype)
+        jac_pm = jnp.zeros((8, 6, pc), dtype)
         (acc_pm, jac_pm), _ = jax.lax.scan(
-            body, (acc_pm, jac_pm), (po_all, accept_all)
+            body, (acc_pm, jac_pm), (po_all, accept_f)
         )
 
-        # parent-major → child grid
-        acc_lvl = (
-            acc_pm.reshape(p, p, p, 2, 2, 2, 3)
-            .transpose(0, 3, 1, 4, 2, 5, 6)
-            .reshape(dl, dl, dl, 3)
-        )
-        jac_lvl = (
-            jac_pm.reshape(p, p, p, 2, 2, 2, 3, 3)
-            .transpose(0, 3, 1, 4, 2, 5, 6, 7)
-            .reshape(dl, dl, dl, 3, 3)
-        )
+        # child-major (8, c, p³) → child grid (dl, dl, dl, c)
+        def to_grid(a, c):
+            return (
+                a.reshape(2, 2, 2, c, p, p, p)
+                .transpose(4, 0, 5, 1, 6, 2, 3)
+                .reshape(dl, dl, dl, c)
+            )
+
+        acc_lvl = to_grid(acc_pm, 3)
+        jac_lvl = to_grid(jac_pm, 6)
         if acc is not None:
             # exact order-1 expansion translation to child centers:
             # A_child = A_parent + J_parent·δ_k, J_child = J_parent,
             # where δ_k = (k − ½)·s_child per axis (8 static offsets).
             s_child = s_l
-            half = dl // 2
             a_rep = jnp.repeat(
                 jnp.repeat(jnp.repeat(acc, 2, 0), 2, 1), 2, 2
             )
@@ -270,22 +297,27 @@ def far_field_grid(
             )
             # child parity per axis → δ component ±s_child/2
             idx = jnp.arange(dl)
-            par = (idx % 2).astype(acc.dtype) - 0.5  # (dl,) values ∓0.5
+            par = (idx % 2).astype(dtype) - 0.5  # (dl,) values ∓0.5
             delta = (
                 jnp.stack(
                     jnp.meshgrid(par, par, par, indexing="ij"), axis=-1
                 )
                 * s_child
             )  # (dl, dl, dl, 3)
-            acc_lvl = acc_lvl + a_rep + jnp.einsum(
-                "xyzde,xyze->xyzd", j_rep, delta
-            )
+            acc_lvl = acc_lvl + a_rep + sym_matvec(j_rep, delta)
             jac_lvl = jac_lvl + j_rep
-            del half
         acc = acc_lvl
         jac = jac_lvl
 
     return G * acc, G * jac
+
+
+def sym_matvec(j6: jax.Array, v: jax.Array) -> jax.Array:
+    """(…, 6) symmetric matrix [xx,yy,zz,xy,xz,yz] times (…, 3) vector."""
+    jx = j6[..., 0] * v[..., 0] + j6[..., 3] * v[..., 1] + j6[..., 4] * v[..., 2]
+    jy = j6[..., 3] * v[..., 0] + j6[..., 1] * v[..., 1] + j6[..., 5] * v[..., 2]
+    jz = j6[..., 4] * v[..., 0] + j6[..., 5] * v[..., 1] + j6[..., 2] * v[..., 2]
+    return jnp.stack([jx, jy, jz], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -399,10 +431,11 @@ def barnes_hut_forces(
             pos, mass, pyr.lo, pyr.cell, G, softening, ws, levels, window
         )
     # Evaluate the local expansion at the particle: a(x) = A[c] + J[c]·(x−ctr)
+    # — ONE packed gather per particle (A3 + J6 contiguous).
     centers = pyr.lo + (coords.astype(pos.dtype) + 0.5) * pyr.cell
-    a_cell = a_far[coords[:, 0], coords[:, 1], coords[:, 2]]
-    j_cell = j_far[coords[:, 0], coords[:, 1], coords[:, 2]]
-    pick = a_cell + jnp.einsum("nde,ne->nd", j_cell, pos - centers)
+    packed = jnp.concatenate([a_far, j_far], axis=-1)  # (d, d, d, 9)
+    vals = packed[coords[:, 0], coords[:, 1], coords[:, 2]]  # (N, 9)
+    pick = vals[:, :3] + sym_matvec(vals[:, 3:9], pos - centers)
     return a_near + pick
 
 

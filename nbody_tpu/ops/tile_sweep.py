@@ -82,37 +82,76 @@ def tile_near_field(
         rank_capped,
     ].set(grid.psort, mode="drop")
 
-    # dense sweep over the Chebyshev ball
+    # Dense sweep over the Chebyshev ball. Layout: slot axis on SUBLANES,
+    # flattened cells on LANES — (k, 4, d, d, d) — so the VPU runs at full
+    # lane utilization (the (d³, K, 4)-trailing layout starves the lanes).
+    tiles_t = tiles.transpose(3, 4, 0, 1, 2)  # (k, 4, d, d, d)
+
+    import os
+
+    if (
+        jax.default_backend() == "tpu"
+        and os.environ.get("NBODY_PALLAS_NEAR") == "1"
+    ):
+        # Experimental VMEM-resident Pallas sweep (opt-in: current Mosaic
+        # lowering of the dynamic sublane loads underperforms the fused
+        # XLA path — see docs/performance.md).
+        from nbody_tpu.ops.pallas_tile_near import tile_sweep_pallas
+
+        acc_slots = tile_sweep_pallas(tiles_t, k=k, d=d, ws=ws, eps=eps)
+        rank_read = jnp.minimum(rank_sorted, k - 1)
+        acc_sorted = acc_slots[
+            rank_read, :, grid.csort[:, 0], grid.csort[:, 1], grid.csort[:, 2]
+        ]
+        acc_sorted = jnp.where((rank_sorted < k)[:, None], acc_sorted, 0.0)
+        acc = jnp.zeros((n, 3), pos.dtype).at[grid.order].set(G * acc_sorted)
+        return acc, overflow
     r = range(-ws, ws + 1)
     offs = np.asarray(
         [(x, y, z) for x in r for y in r for z in r], np.int32
     )
-    pad = [(ws, ws), (ws, ws), (ws, ws), (0, 0), (0, 0)]
-    tiles_pad = jnp.pad(tiles, pad)
+    pad = [(0, 0), (0, 0), (ws, ws), (ws, ws), (ws, ws)]
+    tiles_pad = jnp.pad(tiles_t, pad)
     offsets_arr = jnp.asarray(offs + ws)
 
-    tgt = tiles[..., :3]
+    pc = d * d * d
+    tgt = tiles_t.reshape(k, 4, pc)  # (k, 4, pc)
     eps2 = eps * eps
 
     def body(acc, off):
         zero = jnp.zeros((), off.dtype)
         src = jax.lax.dynamic_slice(
-            tiles_pad, (off[0], off[1], off[2], zero, zero), (d, d, d, k, 4)
-        )
-        dvec = src[..., None, :, :3] - tgt[..., :, None, :]  # (d,d,d,Kt,Ks,3)
-        r2_raw = jnp.sum(dvec * dvec, axis=-1)
-        inv = jax.lax.rsqrt(r2_raw + eps2)
-        w = src[..., None, :, 3] * (inv * inv * inv)
-        w = jnp.where(r2_raw == 0.0, 0.0, w)
-        return acc + jnp.einsum("...ts,...tsd->...td", w, dvec), None
+            tiles_pad, (zero, zero, off[0], off[1], off[2]), (k, 4, d, d, d)
+        ).reshape(k, 4, pc)
+        sx, sy, sz, sm = src[:, 0], src[:, 1], src[:, 2], src[:, 3]
+        rows = []
+        for kt in range(k):
+            dx = sx - tgt[kt, 0]          # (k_s, pc)
+            dy = sy - tgt[kt, 1]
+            dz = sz - tgt[kt, 2]
+            r2_raw = dx * dx + dy * dy + dz * dz
+            inv = jax.lax.rsqrt(r2_raw + eps2)
+            w = sm * (inv * inv * inv)    # empty slots: m = 0 ⇒ w = 0
+            w = jnp.where(r2_raw == 0.0, 0.0, w)
+            rows.append(
+                jnp.stack(
+                    [
+                        jnp.sum(w * dx, axis=0),
+                        jnp.sum(w * dy, axis=0),
+                        jnp.sum(w * dz, axis=0),
+                    ]
+                )
+            )
+        return acc + jnp.stack(rows, axis=0), None  # (k, 3, pc)
 
-    acc0 = jnp.zeros((d, d, d, k, 3), pos.dtype)
+    acc0 = jnp.zeros((k, 3, pc), pos.dtype)
     acc_slots, _ = jax.lax.scan(body, acc0, offsets_arr)
+    acc_slots = acc_slots.reshape(k, 3, d, d, d)
 
     # per-particle pickup (sorted order → original order)
     rank_read = jnp.minimum(rank_sorted, k - 1)
     acc_sorted = acc_slots[
-        grid.csort[:, 0], grid.csort[:, 1], grid.csort[:, 2], rank_read
+        rank_read, :, grid.csort[:, 0], grid.csort[:, 1], grid.csort[:, 2]
     ]
     acc_sorted = jnp.where((rank_sorted < k)[:, None], acc_sorted, 0.0)
     acc = jnp.zeros((n, 3), pos.dtype).at[grid.order].set(G * acc_sorted)

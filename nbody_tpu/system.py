@@ -254,3 +254,23 @@ class ParticleSystem:
         """Synchronize outstanding device work (bench/timing helper)."""
         self._require_init()
         self._state.block_until_ready()
+
+    def diagnostics(self) -> dict:
+        """Runtime diagnostics (reference: --diagnostics surface,
+        src/main.cpp + the memory estimates of error_handling.cpp:25-44)."""
+        self._require_init()
+        from nbody_tpu.errors import STATE_BYTES_PER_PARTICLE
+
+        n = self._state.n
+        return {
+            "particle_count": n,
+            "force_method": self._config.force_method.cli_name,
+            "simulation_time": float(self._state.time),
+            "paused": self._paused,
+            "dt": self._config.dt,
+            "G": self._config.G,
+            "softening": self._config.softening,
+            "state_bytes": n * STATE_BYTES_PER_PARTICLE,
+            "backend": jax.default_backend(),
+            "devices": len(jax.devices()),
+        }
