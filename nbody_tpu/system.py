@@ -255,6 +255,71 @@ class ParticleSystem:
         self._require_init()
         self._state.block_until_ready()
 
+    def audit_short_range(self) -> dict:
+        """Audit the active short-range acceleration structure.
+
+        Returns capacity-overflow counters (pairs/slots the static-shape
+        engines could not hold). Non-zero overflow means forces are being
+        dropped — raise ``hash_window`` / ``hash_max_per_cell`` (hash) or
+        lower ``bh_max_level`` / raise the near K (Barnes-Hut). Plays the
+        role of the reference's verifyCellAssignment/verifyMassConservation
+        audits (force_spatial_hash.cu:336-362, barnes_hut_tree.hpp:50-54).
+        """
+        self._require_init()
+        cfg = self._config
+        state = self._state
+        out = {"method": cfg.force_method.cli_name, "overflow": 0}
+        if cfg.force_method == ForceMethod.SPATIAL_HASH:
+            from nbody_tpu.ops.spatial_hash import (
+                hash_window_defaults,
+                spatial_hash_forces,
+            )
+
+            window, block = hash_window_defaults(cfg)
+            _, overflow = spatial_hash_forces(
+                state.pos,
+                state.mass,
+                cfg.G,
+                cfg.softening,
+                cutoff=cfg.spatial_hash_cutoff,
+                cell_size=cfg.spatial_hash_cell_size,
+                cap=cfg.hash_max_grid_dim,
+                window=window,
+                block_size=block,
+                return_overflow=True,
+            )
+            out["overflow"] = int(overflow)
+            out["window"] = window
+        elif cfg.force_method == ForceMethod.BARNES_HUT:
+            import jax.numpy as jnp
+
+            from nbody_tpu.ops.barnes_hut import build_pyramid, theta_to_ws
+            from nbody_tpu.ops.tile_sweep import tile_near_field
+
+            levels = cfg.bh_max_level
+            d = 1 << levels
+            pyr = build_pyramid(state.pos, state.mass, levels)
+            coords = jnp.clip(
+                ((state.pos - pyr.lo) / pyr.cell).astype(jnp.int32), 0, d - 1
+            )
+            occ = cfg.particle_count / float(8**levels)
+            near_k = int(max(8, min(64, 6 * max(occ, 1.0))))
+            _, overflow = tile_near_field(
+                state.pos,
+                state.mass,
+                coords,
+                pyr.lo,
+                pyr.cell,
+                d=d,
+                ws=theta_to_ws(cfg.barnes_hut_theta),
+                k=near_k,
+                G=cfg.G,
+                eps=cfg.softening,
+            )
+            out["overflow"] = int(overflow)
+            out["near_k"] = near_k
+        return out
+
     def diagnostics(self) -> dict:
         """Runtime diagnostics (reference: --diagnostics surface,
         src/main.cpp + the memory estimates of error_handling.cpp:25-44)."""

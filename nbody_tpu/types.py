@@ -128,6 +128,9 @@ class SimulationConfig:
     hash_max_per_cell: int = 64
     # Spatial hash: static grid resolution cap per axis.
     hash_max_grid_dim: int = 64
+    # Sorted-window sweep width (0 = auto from N). Density-sensitive: audit
+    # with ParticleSystem.audit_short_range() — overflow must read 0.
+    hash_window: int = 0
     # Barnes-Hut multipole grid: finest level (2^level cells per axis).
     bh_max_level: int = 6
     # Multi-chip: number of devices to shard the particle axis over
