@@ -452,7 +452,10 @@ def make_barnes_hut_forces(config: SimulationConfig):
     occ = config.particle_count / float(8**levels)
     if occ <= 24.0:
         near_engine = "tiles"
-        near_k = int(max(8, min(64, 6 * max(occ, 1.0))))
+        # Poisson 5σ tail: cells beyond k are counted by the audit API.
+        # Cost scales with k², so keep k tight (multiple of 8 for sublanes).
+        raw = occ + 5.0 * math.sqrt(occ + 1.0)
+        near_k = int(min(64, max(8, -(-raw // 8) * 8)))
     else:
         near_engine = "window"
         near_k = 16

@@ -302,8 +302,11 @@ class ParticleSystem:
             coords = jnp.clip(
                 ((state.pos - pyr.lo) / pyr.cell).astype(jnp.int32), 0, d - 1
             )
+            import math
+
             occ = cfg.particle_count / float(8**levels)
-            near_k = int(max(8, min(64, 6 * max(occ, 1.0))))
+            raw = occ + 5.0 * math.sqrt(occ + 1.0)
+            near_k = int(min(64, max(8, -(-raw // 8) * 8)))
             _, overflow = tile_near_field(
                 state.pos,
                 state.mass,
