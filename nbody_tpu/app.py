@@ -24,6 +24,43 @@ from nbody_tpu.utils.profiling import (
 )
 
 
+# Key → action mapping (reference: src/main.cpp:265-305 key callbacks):
+# Space pause/resume, r reset, 1/2/3 force method, c color mode cycle,
+# p panel toggle (F1 in the reference), q/Esc quit.
+KEY_ACTIONS = {
+    " ": "toggle_pause",
+    "r": "reset",
+    "1": "method:direct-n2",
+    "2": "method:barnes-hut",
+    "3": "method:spatial-hash",
+    "c": "cycle_color",
+    "p": "toggle_panel",
+    "q": "quit",
+    "\x1b": "quit",
+}
+
+
+def key_to_action(key: str):
+    """Pure mapping so the control surface is testable without a TTY."""
+    return KEY_ACTIONS.get(key.lower() if key != "\x1b" else key)
+
+
+def _poll_keys():
+    """Non-blocking read of pending single-key inputs from stdin (POSIX)."""
+    import select
+
+    keys = []
+    try:
+        while select.select([sys.stdin], [], [], 0)[0]:
+            ch = sys.stdin.read(1)
+            if not ch:
+                break
+            keys.append(ch)
+    except (OSError, ValueError):
+        pass
+    return keys
+
+
 class Application:
     """reference: src/main.cpp Application class."""
 
@@ -170,7 +207,37 @@ class Application:
         steps = o.steps if o.steps > 0 else 1000
         fps_t0 = time.perf_counter()
         fps_frames = 0
+        interactive_tty = sys.stdin.isatty()
+        color_modes = list(__import__("nbody_tpu.types", fromlist=["ColorMode"]).ColorMode)
+        color_idx = 0
         for frame in range(steps):
+            # keyboard controls (reference: main.cpp:265-305)
+            if interactive_tty:
+                for key in _poll_keys():
+                    action = key_to_action(key)
+                    if action == "quit":
+                        self.system.block_until_ready()
+                        self._export_if_requested()
+                        print(json.dumps({"steps": frame, "quit": True}))
+                        return 0
+                    if action == "toggle_pause":
+                        if self.system.is_paused:
+                            self.system.resume()
+                        else:
+                            self.system.pause()
+                    elif action == "reset":
+                        self.system.reset()
+                    elif action and action.startswith("method:"):
+                        from nbody_tpu.types import ForceMethod
+
+                        self.system.set_force_method(
+                            ForceMethod.parse(action.split(":", 1)[1])
+                        )
+                    elif action == "cycle_color" and renderer is not None:
+                        color_idx = (color_idx + 1) % len(color_modes)
+                        renderer.set_color_mode(color_modes[color_idx])
+                    elif action == "toggle_panel" and panel is not None:
+                        panel.toggle_visibility()
             self.system.update()
             fps_frames += 1
             if renderer is not None:

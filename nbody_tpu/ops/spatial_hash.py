@@ -220,20 +220,18 @@ def hash_window_defaults(config: SimulationConfig):
     """(window, block) for the sorted-window sweep.
 
     The window must cover a target block plus the neighbor z-runs — a
-    DENSITY-dependent quantity, so the auto heuristic is conservative and
-    users should confirm overflow == 0 via
-    ``ParticleSystem.audit_short_range()`` (or set ``hash_window``).
-    Measured on v5e: (512, 256) at 100K and (1536, 512) at 1M are both
-    ~1.7× faster than the previous fixed 2048/4096 windows.
+    DENSITY-dependent quantity. The auto default is correctness-first
+    (measured overflow 0 for the reference's default scene at 100K and 1M);
+    tighter windows are faster but MUST be validated with
+    ``ParticleSystem.audit_short_range()`` — e.g. at 100K/radius-10,
+    window 1024 is 1.4× faster but drops 80 pair-windows.
     """
     if config.hash_window > 0:
         window = config.hash_window
         block = 512 if window >= 1536 else 256
         return window, block
     n = config.particle_count
-    if n <= 300_000:
-        return 1024, 256
-    return 2048, 512
+    return (2048, 256) if n <= 300_000 else (2048, 512)
 
 
 # ---------------------------------------------------------------------------

@@ -154,3 +154,22 @@ class TestAppEndToEnd:
             ["--particles", "300", "--benchmark-steps", "3",
              "--import", ckpt]
         ) == 0
+
+
+class TestKeyControls:
+    """Key→action surface (reference: main.cpp:265-305 key callbacks)."""
+
+    def test_mapping(self):
+        from nbody_tpu.app import key_to_action
+
+        assert key_to_action(" ") == "toggle_pause"
+        assert key_to_action("r") == "reset"
+        assert key_to_action("R") == "reset"
+        assert key_to_action("1") == "method:direct-n2"
+        assert key_to_action("2") == "method:barnes-hut"
+        assert key_to_action("3") == "method:spatial-hash"
+        assert key_to_action("c") == "cycle_color"
+        assert key_to_action("p") == "toggle_panel"
+        assert key_to_action("q") == "quit"
+        assert key_to_action("\x1b") == "quit"
+        assert key_to_action("z") is None
