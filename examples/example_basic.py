@@ -5,6 +5,12 @@ TPU-native counterpart of the reference example
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+import os
 import tempfile
 
 from nbody_tpu import (

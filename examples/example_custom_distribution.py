@@ -1,6 +1,12 @@
 """Custom initial conditions: spiral galaxy scene
 (reference: examples/example_custom_distribution.cpp:21-50)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import jax
 import numpy as np
 

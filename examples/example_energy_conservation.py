@@ -3,6 +3,12 @@ tracking with CSV output and a dt sweep
 (reference: examples/example_energy_conservation.cpp:91-213).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import csv
 import os
 import sys

@@ -1,6 +1,12 @@
 """Three-way force method comparison: accuracy vs the exact reference and
 timing (reference: examples/example_force_methods.cpp:34-66)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import time
 
 import jax
