@@ -63,7 +63,8 @@ def main():
     state = jax.jit(lambda s: initialize_forces(s, force_fn))(state)
     state.block_until_ready()
 
-    steps = 20 if n <= 100_000 else 5
+    # enough steps that the ~250ms tunnel dispatch latency amortizes away
+    steps = 200 if n <= 10_000 else (20 if n <= 100_000 else 5)
     multi = jax.jit(make_multi_step(force_fn, config.dt, steps))
     # warm-up compile; the scalar readback defeats async dispatch layers
     # that under-report on block_until_ready (observed through the axon
