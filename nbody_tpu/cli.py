@@ -52,9 +52,100 @@ class AppCliOptions:
     devices: int = 1
     steps: int = 0  # 0 = run until interrupted (interactive)
     debug_nans: bool = False  # NaN tracing (SURVEY.md §5.2 analogue)
+    # Distribution parameters (None = that distribution's default;
+    # reference: include/nbody/types.hpp:343-382).
+    radius: Optional[float] = None
+    center: Optional[tuple] = None
+    thickness: Optional[float] = None
+    rotation_speed: Optional[float] = None
+    min_mass: Optional[float] = None
+    max_mass: Optional[float] = None
+    min_bounds: Optional[tuple] = None
+    max_bounds: Optional[tuple] = None
+    total_mass: Optional[float] = None
+
+    def _dist_params(self):
+        """Build the *DistParams override for init_distribution, or None.
+
+        Flags that do not apply to the selected distribution raise (the
+        reference scopes each field to one param struct,
+        include/nbody/types.hpp:343-382).
+        """
+        from nbody_tpu.types import (
+            DiskDistParams,
+            PlummerDistParams,
+            SphericalDistParams,
+            UniformDistParams,
+        )
+
+        # CLI field -> per-distribution param-struct field (None = N/A).
+        table = {
+            InitDistribution.UNIFORM: (
+                UniformDistParams,
+                {
+                    "min_bounds": "min_bounds",
+                    "max_bounds": "max_bounds",
+                    "min_mass": "min_mass",
+                    "max_mass": "max_mass",
+                },
+            ),
+            InitDistribution.SPHERICAL: (
+                SphericalDistParams,
+                {
+                    "center": "center",
+                    "radius": "radius",
+                    "min_mass": "min_mass",
+                    "max_mass": "max_mass",
+                },
+            ),
+            InitDistribution.DISK: (
+                DiskDistParams,
+                {
+                    "center": "center",
+                    "radius": "radius",
+                    "thickness": "thickness",
+                    "min_mass": "min_mass",
+                    "max_mass": "max_mass",
+                    "rotation_speed": "rotation_speed",
+                },
+            ),
+            InitDistribution.PLUMMER: (
+                PlummerDistParams,
+                {
+                    "center": "center",
+                    "radius": "scale_radius",  # --radius = scale radius
+                    "total_mass": "total_mass",
+                },
+            ),
+        }
+        all_fields = (
+            "radius",
+            "center",
+            "thickness",
+            "rotation_speed",
+            "min_mass",
+            "max_mass",
+            "min_bounds",
+            "max_bounds",
+            "total_mass",
+        )
+        cls, mapping = table[self.init_distribution]
+        kw = {}
+        for f in all_fields:
+            v = getattr(self, f)
+            if v is None:
+                continue
+            if f not in mapping:
+                raise ValidationError(
+                    f"--{f.replace('_', '-')} does not apply to "
+                    f"--init {self.init_distribution.name.lower()}"
+                )
+            kw[mapping[f]] = v
+        return cls(**kw) if kw else None
 
     def to_config(self) -> SimulationConfig:
         return SimulationConfig(
+            dist_params=self._dist_params(),
             particle_count=self.particle_count,
             init_distribution=self.init_distribution,
             force_method=self.force_method,
@@ -81,6 +172,13 @@ def _parse_float(value: str, flag: str) -> float:
         return float(value)
     except ValueError:
         raise ValidationError(f"Invalid numeric value for {flag}: {value}")
+
+
+def _parse_vec3(value: str, flag: str) -> tuple:
+    parts = value.split(",")
+    if len(parts) != 3:
+        raise ValidationError(f"Expected X,Y,Z for {flag}: {value}")
+    return tuple(_parse_float(p, flag) for p in parts)
 
 
 def parse_app_cli_options(argv: List[str]) -> AppCliOptions:
@@ -119,6 +217,24 @@ def parse_app_cli_options(argv: List[str]) -> AppCliOptions:
             o.spatial_hash_cutoff = _parse_float(need_value(a), a)
         elif a == "--seed":
             o.seed = _parse_int(need_value(a), a)
+        elif a == "--radius":
+            o.radius = _parse_float(need_value(a), a)
+        elif a == "--center":
+            o.center = _parse_vec3(need_value(a), a)
+        elif a == "--thickness":
+            o.thickness = _parse_float(need_value(a), a)
+        elif a == "--rotation-speed":
+            o.rotation_speed = _parse_float(need_value(a), a)
+        elif a == "--min-mass":
+            o.min_mass = _parse_float(need_value(a), a)
+        elif a == "--max-mass":
+            o.max_mass = _parse_float(need_value(a), a)
+        elif a == "--min-bounds":
+            o.min_bounds = _parse_vec3(need_value(a), a)
+        elif a == "--max-bounds":
+            o.max_bounds = _parse_vec3(need_value(a), a)
+        elif a == "--total-mass":
+            o.total_mass = _parse_float(need_value(a), a)
         elif a == "--benchmark":
             o.benchmark_mode = True
         elif a == "--benchmark-steps":
@@ -178,6 +294,25 @@ def parse_app_cli_options(argv: List[str]) -> AppCliOptions:
         raise ValidationError(
             f"Unknown export format: {o.export_format} (checkpoint | hdf5)"
         )
+    for flag, v in (
+        ("--radius", o.radius),
+        ("--thickness", o.thickness),
+        ("--total-mass", o.total_mass),
+        ("--min-mass", o.min_mass),
+        ("--max-mass", o.max_mass),
+    ):
+        if v is not None and v <= 0:
+            raise ValidationError(f"{flag} must be positive")
+    if (
+        o.min_mass is not None
+        and o.max_mass is not None
+        and o.min_mass > o.max_mass
+    ):
+        raise ValidationError("--min-mass must not exceed --max-mass")
+    if o.min_bounds is not None and o.max_bounds is not None:
+        if any(lo >= hi for lo, hi in zip(o.min_bounds, o.max_bounds)):
+            raise ValidationError("--min-bounds must be below --max-bounds")
+    o._dist_params()  # raises per-distribution if fields are inapplicable
     return o
 
 
@@ -197,6 +332,17 @@ Simulation options:
   --cutoff VALUE         Set spatial hash cutoff radius
   --seed N               Set initializer RNG seed
   --steps N              Step count for interactive/render mode
+
+Distribution parameters (scoped to --init; defaults per distribution):
+  --radius VALUE         Sphere/disk radius; Plummer scale radius
+  --center X,Y,Z         Distribution center (spherical/disk/plummer)
+  --thickness VALUE      Disk thickness
+  --rotation-speed VALUE Disk tangential speed factor (v = w*sqrt(r))
+  --min-mass VALUE       Minimum particle mass (uniform/spherical/disk)
+  --max-mass VALUE       Maximum particle mass (uniform/spherical/disk)
+  --min-bounds X,Y,Z     Uniform box lower corner
+  --max-bounds X,Y,Z     Uniform box upper corner
+  --total-mass VALUE     Plummer total mass
   --devices N            Shard particles over N devices (mesh)
   --benchmark            Run a non-interactive benchmark and exit
   --benchmark-steps N    Set benchmark update steps

@@ -165,20 +165,36 @@ def zero_accelerations(state: ParticleState) -> ParticleState:
     return dataclasses.replace(state, acc=jnp.zeros_like(state.acc))
 
 
+_PARAM_TYPES = {
+    InitDistribution.UNIFORM: UniformDistParams,
+    InitDistribution.SPHERICAL: SphericalDistParams,
+    InitDistribution.DISK: DiskDistParams,
+    InitDistribution.PLUMMER: PlummerDistParams,
+}
+
+
 def init_from_config(config: SimulationConfig) -> ParticleState:
-    """Dispatch on config.init_distribution
-    (reference: src/core/particle_system.cpp:55-82)."""
+    """Dispatch on config.init_distribution, honoring config.dist_params
+    (reference: src/core/particle_system.cpp:55-82 dispatch;
+    include/nbody/types.hpp:343-382 param structs)."""
+    from nbody_tpu.errors import ValidationError
+
     key = jax.random.PRNGKey(config.seed)
     n = config.particle_count
     dist = config.init_distribution
+    if dist not in _PARAM_TYPES:
+        raise ValidationError(f"Unknown init distribution: {dist}")
+    want = _PARAM_TYPES[dist]
+    params = config.dist_params if config.dist_params is not None else want()
+    if not isinstance(params, want):
+        raise ValidationError(
+            f"dist_params type {type(params).__name__} does not match "
+            f"init distribution {dist.name} (expected {want.__name__})"
+        )
     if dist == InitDistribution.UNIFORM:
-        return init_uniform(key, n)
+        return init_uniform(key, n, params)
     if dist == InitDistribution.SPHERICAL:
-        return init_spherical(key, n)
+        return init_spherical(key, n, params)
     if dist == InitDistribution.DISK:
-        return init_disk(key, n)
-    if dist == InitDistribution.PLUMMER:
-        return init_plummer(key, n, G=config.G)
-    from nbody_tpu.errors import ValidationError
-
-    raise ValidationError(f"Unknown init distribution: {dist}")
+        return init_disk(key, n, params)
+    return init_plummer(key, n, params, G=config.G)

@@ -15,7 +15,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from nbody_tpu.parallel.mesh import PARTICLE_AXIS
 from nbody_tpu.parallel.ring import ring_direct_forces
@@ -88,7 +88,9 @@ def sharded_energy(
                 jax.lax.ppermute(mj, axis, perm),
             )
 
-        pe0 = jax.lax.pvary(jnp.zeros((), pos_l.dtype), PARTICLE_AXIS)
+        pe0 = jax.lax.pcast(
+            jnp.zeros((), pos_l.dtype), PARTICLE_AXIS, to="varying"
+        )
         pe_l, _, _ = jax.lax.fori_loop(0, n_dev, body, (pe0, pos_l, mass_l))
         ke = jax.lax.psum(ke_l, axis)
         pe = jax.lax.psum(-0.5 * G * pe_l, axis)

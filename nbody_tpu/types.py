@@ -136,6 +136,11 @@ class SimulationConfig:
     # Multi-chip: number of devices to shard the particle axis over
     # (1 = single chip).
     shard_devices: int = 1
+    # Distribution parameters (reference: include/nbody/types.hpp:343-382
+    # plumbs Uniform/Spherical/DiskDistribution structs through config).
+    # One of the *DistParams dataclasses matching init_distribution, or
+    # None for that distribution's defaults.
+    dist_params: "object" = None
 
     def replace(self, **kw) -> "SimulationConfig":
         return dataclasses.replace(self, **kw)

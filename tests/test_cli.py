@@ -107,6 +107,85 @@ class TestParsing:
             assert flag in usage
 
 
+class TestDistParams:
+    """Distribution parameters plumb CLI -> config -> initializer
+    (reference: include/nbody/types.hpp:343-382 param structs)."""
+
+    def test_disk_radius_reaches_config(self):
+        from nbody_tpu.types import DiskDistParams
+
+        o = parse_app_cli_options(
+            ["--init", "disk", "--radius", "25", "--thickness", "0.5",
+             "--rotation-speed", "2.0"]
+        )
+        cfg = o.to_config()
+        assert isinstance(cfg.dist_params, DiskDistParams)
+        assert cfg.dist_params.radius == 25.0
+        assert cfg.dist_params.thickness == 0.5
+        assert cfg.dist_params.rotation_speed == 2.0
+
+    def test_uniform_bounds_and_center_vec3(self):
+        from nbody_tpu.types import UniformDistParams
+
+        o = parse_app_cli_options(
+            ["--init", "uniform", "--min-bounds", "-1,-2,-3",
+             "--max-bounds", "1,2,3"]
+        )
+        cfg = o.to_config()
+        assert isinstance(cfg.dist_params, UniformDistParams)
+        assert cfg.dist_params.min_bounds == (-1.0, -2.0, -3.0)
+        assert cfg.dist_params.max_bounds == (1.0, 2.0, 3.0)
+
+    def test_default_params_stay_none(self):
+        assert parse_app_cli_options(["--init", "disk"]).to_config().dist_params is None
+
+    def test_inapplicable_flag_rejected(self):
+        with pytest.raises(ValidationError, match="does not apply"):
+            parse_app_cli_options(["--init", "spherical", "--thickness", "1"])
+
+    def test_bad_vec3_rejected(self):
+        with pytest.raises(ValidationError, match="X,Y,Z"):
+            parse_app_cli_options(["--init", "uniform", "--min-bounds", "1,2"])
+
+    @pytest.mark.parametrize(
+        "argv",
+        [
+            ["--radius", "-1"],
+            ["--init", "disk", "--thickness", "0"],
+            ["--min-mass", "2", "--max-mass", "1"],
+            ["--init", "uniform", "--min-bounds", "1,1,1",
+             "--max-bounds", "0,2,2"],
+        ],
+    )
+    def test_param_validation(self, argv):
+        with pytest.raises(ValidationError):
+            parse_app_cli_options(argv)
+
+    def test_radius_reaches_particles(self):
+        """--init disk --radius: particles actually land in the wider disk."""
+        import numpy as np
+
+        from nbody_tpu.models.distributions import init_from_config
+
+        o = parse_app_cli_options(
+            ["--particles", "512", "--init", "disk", "--radius", "30"]
+        )
+        state = init_from_config(o.to_config())
+        r = np.linalg.norm(np.asarray(state.pos)[:, :2], axis=1)
+        assert r.max() > 10.0  # beyond the default radius
+        assert r.max() <= 30.0 + 1e-4
+
+    def test_mismatched_params_type_rejected(self):
+        from nbody_tpu.models.distributions import init_from_config
+        from nbody_tpu.types import DiskDistParams, SimulationConfig
+
+        cfg = SimulationConfig(
+            particle_count=16, dist_params=DiskDistParams()
+        )  # init is SPHERICAL by default
+        with pytest.raises(ValidationError, match="does not match"):
+            init_from_config(cfg)
+
+
 class TestAppEndToEnd:
     def test_help_exits_zero(self, capsys):
         assert main(["--help"]) == 0

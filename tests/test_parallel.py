@@ -112,6 +112,51 @@ def test_sharded_bh_step_compiles(mesh, key):
     assert np.isfinite(np.asarray(out.pos)).all()
 
 
+class TestDistributed:
+    """Multi-host init helpers (parallel/distributed.py; SURVEY.md §5.8)."""
+
+    def test_single_host_is_noop(self, monkeypatch):
+        from nbody_tpu.parallel.distributed import initialize_distributed
+
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        assert initialize_distributed() is False
+
+    def test_env_var_drives_initialization(self, monkeypatch):
+        from nbody_tpu.parallel import distributed
+
+        calls = {}
+
+        def fake_init(coordinator_address, num_processes, process_id):
+            calls.update(
+                addr=coordinator_address, np=num_processes, pid=process_id
+            )
+
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+        monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+        assert distributed.initialize_distributed(
+            num_processes=4, process_id=2
+        ) is True
+        assert calls == {"addr": "10.0.0.1:1234", "np": 4, "pid": 2}
+
+    def test_already_initialized_is_idempotent(self, monkeypatch):
+        from nbody_tpu.parallel import distributed
+
+        def fake_init(**kw):
+            raise RuntimeError("Backend already initialized")
+
+        monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+        assert distributed.initialize_distributed(
+            coordinator_address="x:1", num_processes=2, process_id=0
+        ) is True
+
+    def test_global_device_info(self):
+        from nbody_tpu.parallel.distributed import global_device_info
+
+        info = global_device_info()
+        assert info["process_count"] == 1
+        assert info["global_devices"] >= 8
+
+
 def test_pad_to_devices(key):
     s = init_spherical(key, 250, SphericalDistParams(radius=3.0))
     padded = pad_to_devices(s, 8)
