@@ -56,16 +56,23 @@ import jax.numpy as jnp
 from nbody_tpu.types import SimulationConfig
 
 
-def theta_to_ws(theta: float, max_ws: int = 16) -> int:
+def theta_to_ws(theta: float, max_ws: int = 16, order: int = 1) -> int:
     """Map the BH opening angle θ to the well-separation width ws.
 
     Accepted cells have a gap of ≥ ws cells, so the effective opening
     angle s/d ≤ 1/ws ≤ θ. θ ≤ 1/max_ws clamps (cost grows as 1/θ³,
     exactly like classic BH).
+
+    With quadrupole sources (order=2) the error at a given ws drops one
+    power of (s/d), so half the separation achieves the same accuracy:
+    ws = ceil(1/(2θ)) — measured at the reference scene, ws=1+quadrupole
+    is ~2× MORE accurate than ws=2 monopole (the θ=0.5 operating point)
+    while sweeping 4.6× fewer windows.
     """
     if theta <= 0:
         return max_ws
-    return max(1, min(max_ws, math.ceil(1.0 / theta)))
+    denom = 2.0 if order >= 2 else 1.0
+    return max(1, min(max_ws, math.ceil(1.0 / (denom * theta))))
 
 
 # ---------------------------------------------------------------------------
@@ -80,16 +87,40 @@ class Pyramid:
 
     ``lo``/``cell`` define the finest-level geometry: a cube anchored at
     ``lo`` with finest cell edge ``cell`` (equal on all axes).
+
+    ``quads`` (order-2 pyramids only, else empty): per level, the raw
+    second moments ABOUT THE CELL CENTER, (2^ℓ)³×6 in the symmetric order
+    [xx, yy, zz, xy, xz, yz]. Center-relative storage keeps the f32
+    moments well-conditioned (|x−ctr| ~ cell edge, not domain size).
     """
 
     masses: tuple
     msums: tuple
     lo: jax.Array
     cell: jax.Array
+    quads: tuple = ()
+    # order-2 only: center-relative dipole moments Σ m·(x − ctr), (2^ℓ)³×3
+    srels: tuple = ()
 
 
-def build_pyramid(pos: jax.Array, mass: jax.Array, levels: int) -> Pyramid:
-    """Scatter-add the finest level, then 2× reductions up to the root."""
+def _outer6(v: jax.Array) -> jax.Array:
+    """(…, 3) → (…, 6) symmetric outer product [xx, yy, zz, xy, xz, yz]."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    return jnp.stack([x * x, y * y, z * z, x * y, x * z, y * z], axis=-1)
+
+
+def build_pyramid(
+    pos: jax.Array, mass: jax.Array, levels: int, order: int = 1
+) -> Pyramid:
+    """Scatter-add the finest level, then 2× reductions up to the root.
+
+    order=1: monopoles (mass + mass-weighted position).
+    order=2: also second moments about cell centers; the level-up pass is
+    the parallel-axis translation  q_p = Σ_c [q_c + δ⊗s_c + s_c⊗δ + m_c δ⊗δ]
+    with δ = child_center − parent_center = ±(child edge)/2 per axis.
+    (The reference's bottom-up COM pass, force_barnes_hut.cu:438-486,
+    extended one multipole order.)
+    """
     d = 1 << levels
     lo = jnp.min(pos, axis=0)
     hi = jnp.max(pos, axis=0)
@@ -97,26 +128,112 @@ def build_pyramid(pos: jax.Array, mass: jax.Array, levels: int) -> Pyramid:
     cell = cube / d
     coords = jnp.clip(((pos - lo) / cell).astype(jnp.int32), 0, d - 1)
 
-    m_fine = jnp.zeros((d, d, d), pos.dtype).at[
-        coords[:, 0], coords[:, 1], coords[:, 2]
-    ].add(mass)
-    s_fine = jnp.zeros((d, d, d, 3), pos.dtype).at[
-        coords[:, 0], coords[:, 1], coords[:, 2]
-    ].add(mass[:, None] * pos)
+    cid = (coords[:, 0] * d + coords[:, 1]) * d + coords[:, 2]
+    if order >= 2:
+        # ONE packed (N, 10) scatter-add with LINEAR row indices:
+        # [m, m·xr, m·xr⊗xr], xr the center-relative position (wide rows +
+        # linear indices amortize the scatter on TPU).
+        ctr = lo + (coords.astype(pos.dtype) + 0.5) * cell
+        xr = pos - ctr
+        vals = jnp.concatenate(
+            [mass[:, None], mass[:, None] * xr, mass[:, None] * _outer6(xr)],
+            axis=-1,
+        )
+        packed = (
+            jnp.zeros((d * d * d, 10), pos.dtype)
+            .at[cid]
+            .add(vals)
+            .reshape(d, d, d, 10)
+        )
+        m_fine = packed[..., 0]
+        sr_fine = packed[..., 1:4]  # center-relative Σ m·xr
+        q_fine = packed[..., 4:10]
+    else:
+        packed = (
+            jnp.zeros((d * d * d, 4), pos.dtype)
+            .at[cid]
+            .add(
+                jnp.concatenate(
+                    [mass[:, None], mass[:, None] * pos], axis=-1
+                )
+            )
+            .reshape(d, d, d, 4)
+        )
+        m_fine = packed[..., 0]
+        s_fine = packed[..., 1:4]
 
     masses = [m_fine]
-    msums = [s_fine]
-    for _ in range(levels):
+    quads = []
+    if order >= 2:
+        srels = [sr_fine]
+        quads = [q_fine]
+    else:
+        msums = [s_fine]
+    for lvl in range(levels):
         dm = masses[-1].shape[0] // 2
-        masses.append(
-            masses[-1].reshape(dm, 2, dm, 2, dm, 2).sum(axis=(1, 3, 5))
-        )
-        msums.append(
-            msums[-1].reshape(dm, 2, dm, 2, dm, 2, 3).sum(axis=(1, 3, 5))
-        )
+        m_c = masses[-1].reshape(dm, 2, dm, 2, dm, 2)
+        masses.append(m_c.sum(axis=(1, 3, 5)))
+        if order >= 2:
+            # δ per octant: child center − parent center = ±(child edge)/2.
+            # Child level after `lvl` reductions has edge cell·2^lvl.
+            e = cell * (1 << lvl) * 0.5
+            par = jnp.asarray([-0.5, 0.5], pos.dtype) * 2.0 * e  # (2,) = ∓e
+            dx = par.reshape(1, 2, 1, 1, 1, 1)
+            dy = par.reshape(1, 1, 1, 2, 1, 1)
+            dz = par.reshape(1, 1, 1, 1, 1, 2)
+            s_c = srels[-1].reshape(dm, 2, dm, 2, dm, 2, 3)
+            q_c = quads[-1].reshape(dm, 2, dm, 2, dm, 2, 6)
+            sx, sy, sz = s_c[..., 0], s_c[..., 1], s_c[..., 2]
+            q_p = jnp.stack(
+                [
+                    q_c[..., 0] + 2 * dx * sx + m_c * dx * dx,
+                    q_c[..., 1] + 2 * dy * sy + m_c * dy * dy,
+                    q_c[..., 2] + 2 * dz * sz + m_c * dz * dz,
+                    q_c[..., 3] + dx * sy + dy * sx + m_c * dx * dy,
+                    q_c[..., 4] + dx * sz + dz * sx + m_c * dx * dz,
+                    q_c[..., 5] + dy * sz + dz * sy + m_c * dy * dz,
+                ],
+                axis=-1,
+            )
+            quads.append(q_p.sum(axis=(1, 3, 5)))
+            s_p = s_c + m_c[..., None] * jnp.stack(
+                [
+                    jnp.broadcast_to(dx, m_c.shape),
+                    jnp.broadcast_to(dy, m_c.shape),
+                    jnp.broadcast_to(dz, m_c.shape),
+                ],
+                axis=-1,
+            )
+            srels.append(s_p.sum(axis=(1, 3, 5)))
+        else:
+            msums.append(
+                msums[-1].reshape(dm, 2, dm, 2, dm, 2, 3).sum(axis=(1, 3, 5))
+            )
+    if order >= 2:
+        # Reconstruct ABSOLUTE msums (public contract: com = msum / m) from
+        # the center-relative sums: msum = s_rel + m·ctr.
+        msums = []
+        # masses is still ordered fine → coarse here: index i has edge 2^i.
+        for lvl_i, (m_l, s_l) in enumerate(zip(masses, srels)):
+            dl = m_l.shape[0]
+            edge = cell * (1 << lvl_i)
+            idx = (jnp.arange(dl, dtype=pos.dtype) + 0.5) * edge
+            ctr_l = lo + jnp.stack(
+                jnp.meshgrid(idx, idx, idx, indexing="ij"), axis=-1
+            )
+            msums.append(s_l + m_l[..., None] * ctr_l)
+        srels.reverse()
+        quads.reverse()
     masses.reverse()
     msums.reverse()
-    return Pyramid(tuple(masses), tuple(msums), lo, cell)
+    return Pyramid(
+        tuple(masses),
+        tuple(msums),
+        lo,
+        cell,
+        tuple(quads),
+        tuple(srels) if order >= 2 else (),
+    )
 
 
 def _window_offsets_and_masks(ws: int):
@@ -144,26 +261,193 @@ def _window_offsets_and_masks(ws: int):
     return po, accept
 
 
+def _conv_taps_kernel(dvec: jax.Array, eps: float):
+    """Per-tap multipole-to-local translation matrices.
+
+    dvec: (T, 3) source-center − target-center displacement per tap.
+    Returns (T, 19, 10): rows = output channels [A3, J6, H10], cols = input
+    moment channels [m, s3, q6], built from the Plummer-kernel derivative
+    tensors T1..T4 of T1_i(D) = D_i·u^{-3/2}, u = |D|²+ε²:
+
+      A_i = m·T1_i + s_j·T2_ij + ½ q_jk·T3_ijk
+      J_ij = −(m·T2_ij + s_k·T3_ijk + ½ q_kl·T4_ijkl)
+      H_ijk = m·T3_ijk + s_l·T4_ijkl              (q·T5 truncated)
+
+    All entries are elementwise in the tap axis — the MXU conv does the
+    actual spatial accumulation.
+    """
+    D = [dvec[:, 0], dvec[:, 1], dvec[:, 2]]
+    u = dvec[:, 0] ** 2 + dvec[:, 1] ** 2 + dvec[:, 2] ** 2 + eps * eps
+    u = jnp.maximum(u, 1e-30)
+    u3 = u ** (-1.5)
+    u5 = u3 / u
+    u7 = u5 / u
+    u9 = u7 / u
+
+    def kd(i, j):
+        return 1.0 if i == j else 0.0
+
+    def t1(i):
+        return D[i] * u3
+
+    def t2(i, j):
+        return kd(i, j) * u3 - 3.0 * D[i] * D[j] * u5
+
+    def t3(i, j, k):
+        return (
+            -3.0 * (kd(i, j) * D[k] + kd(i, k) * D[j] + kd(j, k) * D[i]) * u5
+            + 15.0 * D[i] * D[j] * D[k] * u7
+        )
+
+    def t4(i, j, k, l):
+        return (
+            -3.0
+            * (kd(i, j) * kd(k, l) + kd(i, k) * kd(j, l) + kd(j, k) * kd(i, l))
+            * u5
+            + 15.0
+            * (
+                kd(i, j) * D[k] * D[l]
+                + kd(i, k) * D[j] * D[l]
+                + kd(j, k) * D[i] * D[l]
+                + kd(k, l) * D[i] * D[j]
+                + kd(j, l) * D[i] * D[k]
+                + kd(i, l) * D[j] * D[k]
+            )
+            * u7
+            - 105.0 * D[i] * D[j] * D[k] * D[l] * u9
+        )
+
+    SYM6 = [(0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2)]
+    SYM10 = [
+        (0, 0, 0), (1, 1, 1), (2, 2, 2), (0, 0, 1), (0, 0, 2),
+        (0, 1, 1), (1, 1, 2), (0, 2, 2), (1, 2, 2), (0, 1, 2),
+    ]
+    q_mult = [1.0, 1.0, 1.0, 2.0, 2.0, 2.0]  # off-diagonal double count
+
+    rows = []
+    # A channels
+    for i in range(3):
+        cols = [t1(i)] + [t2(i, j) for j in range(3)]
+        cols += [
+            0.5 * q_mult[c] * t3(i, *SYM6[c]) for c in range(6)
+        ]
+        rows.append(cols)
+    # J channels (symmetric 6)
+    for (i, j) in SYM6:
+        cols = [-t2(i, j)] + [-t3(i, j, k) for k in range(3)]
+        cols += [
+            -0.5 * q_mult[c] * t4(i, j, *SYM6[c]) for c in range(6)
+        ]
+        rows.append(cols)
+    # H channels (symmetric 10); quad column truncated (5th derivative)
+    zero = jnp.zeros_like(u)
+    for (i, j, k) in SYM10:
+        cols = [t3(i, j, k)] + [t4(i, j, k, l) for l in range(3)]
+        cols += [zero] * 6
+        rows.append(cols)
+    return jnp.stack(
+        [jnp.stack(c, axis=-1) for c in rows], axis=-2
+    )  # (T, 19, 10)
+
+
+def _far_conv_level(pyr: Pyramid, lvl: int, ws: int, eps: float, levels: int):
+    """One level's accepted far-field contributions as ONE MXU convolution.
+
+    Because the local expansion is about CELL CENTERS, the source→target
+    displacement is constant per (parent offset, child pair) tap, so the
+    whole level is a 3D convolution: input (8·10, p, p, p) child-major
+    moment channels, filter (8·19, 8·10, w1, w1, w1) from _conv_taps_kernel
+    with the telescoping acceptance mask folded in, output (8·19, p³).
+    This is the TPU-native form of the reference's per-cell traversal
+    (force_barnes_hut.cu:130-201): the MXU does the spatial reduction.
+    """
+    dl = 1 << lvl
+    p = dl // 2
+    pc = p * p * p
+    s_l = pyr.cell * (1 << (levels - lvl))
+    w1 = 2 * ws + 1
+    dtype = pyr.masses[0].dtype
+
+    po_np, accept_np = _window_offsets_and_masks(ws)  # (T,3), (T,8,8)
+    kids = np.array(
+        [(x, y, z) for x in (0, 1) for y in (0, 1) for z in (0, 1)], np.int32
+    )
+    # Tap displacement per (po, kt, ks): D = (2·po + ks − kt)·s_child
+    delta_int = (
+        2 * po_np[:, None, None, :]
+        + kids[None, None, :, :]
+        - kids[None, :, None, :]
+    )  # (T, 8, 8, 3)
+    T = po_np.shape[0]
+    dvec = jnp.asarray(delta_int.reshape(T * 64, 3), dtype) * s_l
+    K = _conv_taps_kernel(dvec, eps)  # (T·64, 19, 10)
+    mask = jnp.asarray(
+        accept_np.astype(np.float32).reshape(T * 64), dtype
+    )
+    K = K * mask[:, None, None]
+    # (T, kt, ks, 19, 10) → filter (kt·19, ks·10, w1, w1, w1)
+    filt = (
+        K.reshape(w1, w1, w1, 8, 8, 19, 10)
+        .transpose(3, 5, 4, 6, 0, 1, 2)
+        .reshape(8 * 19, 8 * 10, w1, w1, w1)
+    )
+
+    # Child-major moment channels (8, 10, p, p, p) → (1, 80, p, p, p)
+    def cm(x, c):
+        return (
+            x.reshape(p, 2, p, 2, p, 2, c)
+            .transpose(1, 3, 5, 6, 0, 2, 4)
+            .reshape(8, c, p, p, p)
+        )
+
+    mom = jnp.concatenate(
+        [
+            cm(pyr.masses[lvl][..., None], 1),
+            cm(pyr.srels[lvl], 3),
+            cm(pyr.quads[lvl], 6),
+        ],
+        axis=1,
+    ).reshape(1, 80, p, p, p)
+
+    out = jax.lax.conv_general_dilated(
+        mom,
+        filt,
+        window_strides=(1, 1, 1),
+        padding=[(ws, ws)] * 3,
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=dtype,
+    )  # (1, 152, p, p, p)
+    out = out.reshape(8, 19, pc)
+    return out[:, 0:3], out[:, 3:9], out[:, 9:19]
+
+
 def far_field_grid(
     pyr: Pyramid, ws: int, G: float, eps: float, levels: int
 ):
-    """Far field as an ORDER-1 LOCAL EXPANSION per finest cell.
+    """Far field as a LOCAL EXPANSION per finest cell.
 
-    Returns (A, J6): acceleration (d,d,d,3) and its SYMMETRIC Jacobian in
-    6-component form (d,d,d,6) ordered [xx, yy, zz, xy, xz, yz], both about
-    cell centers. Each level's accepted monopoles contribute a += w·d and
-    ∇a = w·(3·d⊗d/(r²+ε²) − I); the downward pass translates the expansion
-    to child centers EXACTLY (A_child = A + J·δ, J_child = J) — no
-    interpolation between cells with different source sets (the FMM
-    local-expansion trick; a piecewise-constant inheritance would leave an
-    O(θ) target-discretization error). Particles evaluate
-    a(x) = A[c] + J[c]·(x − center_c).
+    Returns (A, J6, H10): acceleration (d,d,d,3), its SYMMETRIC Jacobian in
+    6-component form (d,d,d,6) ordered [xx, yy, zz, xy, xz, yz], and — for
+    order-2 pyramids — the symmetric Hessian in 10-component form
+    [xxx, yyy, zzz, xxy, xxz, xyy, yyz, xzz, yzz, xyz] (None for order-1),
+    all about cell centers. The downward pass translates the expansion to
+    child centers EXACTLY (A += J·δ + ½δᵀHδ, J += H·δ, H inherited) — the
+    FMM local-expansion trick; a piecewise-constant inheritance would leave
+    an O(θ) target-discretization error. Particles evaluate
+    a(x) = A[c] + J[c]·δ + ½(H[c]·δ)·δ.
 
-    Layout: all per-level sweeps run with the flattened cell axis LAST
-    (the TPU lane dimension) and the tiny child/component axes leading —
-    (8, c, P³) — so the VPU runs at full lane utilization. The 8×8 child
-    pairs are a static Python loop; per-pair acceptance is one scalar
-    multiply from the precomputed mask table.
+    Two per-level engines:
+      * order-2 pyramids → ``_far_conv_level``: ONE MXU convolution per
+        level (monopole+dipole+quadrupole sources, order-2 local
+        expansion); the fast path.
+      * order-1 pyramids → the VPU scan: COM-centered monopoles with
+        order-1 expansion; all per-level sweeps run with the flattened
+        cell axis LAST (the TPU lane dimension) and the tiny
+        child/component axes leading — (8, c, P³) — full lane utilization.
+        Each accepted monopole contributes a += w·d,
+        ∇a = w·(3·d⊗d/u − I); acceptance is one scalar multiply from the
+        precomputed mask table.
     """
     po_np, accept_np = _window_offsets_and_masks(ws)
     po_all = jnp.asarray(po_np + ws)  # slice starts into the padded grid
@@ -172,107 +456,121 @@ def far_field_grid(
         [(x, y, z) for x in (0, 1) for y in (0, 1) for z in (0, 1)], np.int32
     )
     dtype = pyr.masses[0].dtype
+    use_quad = len(pyr.quads) > 0
 
     acc = None  # (dl, dl, dl, 3) expansion value at the previous level
     jac = None  # (dl, dl, dl, 6) symmetric expansion gradient
+    hes = None  # (dl, dl, dl, 10) symmetric expansion Hessian (order 2)
     for lvl in range(1, levels + 1):
         dl = 1 << lvl
         p = dl // 2
         pc = p * p * p
         s_l = pyr.cell * (1 << (levels - lvl))  # cell edge at this level
 
-        # Child-major grids with cells flattened on lanes:
-        # m: (8, p, p, p) padded; s: (8, 3, p, p, p) padded.
-        m = (
-            pyr.masses[lvl]
-            .reshape(p, 2, p, 2, p, 2)
-            .transpose(1, 3, 5, 0, 2, 4)
-            .reshape(8, p, p, p)
-        )
-        s = (
-            pyr.msums[lvl]
-            .reshape(p, 2, p, 2, p, 2, 3)
-            .transpose(1, 3, 5, 6, 0, 2, 4)
-            .reshape(8, 3, p, p, p)
-        )
-        pad3 = [(ws, ws), (ws, ws), (ws, ws)]
-        m_pad = jnp.pad(m, [(0, 0)] + pad3)
-        s_pad = jnp.pad(s, [(0, 0), (0, 0)] + pad3)
+        if use_quad:
+            acc_pm, jac_pm, hes_pm = _far_conv_level(
+                pyr, lvl, ws, eps, levels
+            )
+        else:
+            hes_pm = None
+            # Child-major grids with cells flattened on lanes.
+            m = (
+                pyr.masses[lvl]
+                .reshape(p, 2, p, 2, p, 2)
+                .transpose(1, 3, 5, 0, 2, 4)
+                .reshape(8, p, p, p)
+            )
+            s = (
+                pyr.msums[lvl]
+                .reshape(p, 2, p, 2, p, 2, 3)
+                .transpose(1, 3, 5, 6, 0, 2, 4)
+                .reshape(8, 3, p, p, p)
+            )
 
-        # Target child-cell centers: (8, 3, p³)
-        q = jnp.stack(
-            jnp.meshgrid(
-                jnp.arange(p), jnp.arange(p), jnp.arange(p), indexing="ij"
-            ),
-            axis=0,
-        ).astype(dtype).reshape(3, pc)
-        centers = (
-            pyr.lo.reshape(3, 1)
-            + (2.0 * q[None, :, :] + jnp.asarray(kids, dtype)[:, :, None] + 0.5)
-            * s_l
-        )  # (8, 3, p³)
-
-        eps2 = eps * eps
-
-        def body(carry, x, m_pad=m_pad, s_pad=s_pad, centers=centers,
-                 p=p, pc=pc):
-            po, acc_tab = x  # (3,), (8, 8) float mask
-            zero = jnp.zeros((), po.dtype)
-            msrc = jax.lax.dynamic_slice(
-                m_pad, (zero, po[0], po[1], po[2]), (8, p, p, p)
-            ).reshape(8, pc)
-            ssrc = jax.lax.dynamic_slice(
-                s_pad, (zero, zero, po[0], po[1], po[2]), (8, 3, p, p, p)
-            ).reshape(8, 3, pc)
-            inv_m = 1.0 / jnp.maximum(msrc, 1e-30)   # (8, pc)
-            comx = ssrc[:, 0] * inv_m                # (8, pc) — ks on sublanes
-            comy = ssrc[:, 1] * inv_m
-            comz = ssrc[:, 2] * inv_m
-            out_a, out_j = carry
-            a_rows = []
-            j_rows = []
-            for kt in range(8):
-                dx = comx - centers[kt, 0]           # (8, pc)
-                dy = comy - centers[kt, 1]
-                dz = comz - centers[kt, 2]
-                r2 = dx * dx + dy * dy + dz * dz + eps2
-                inv = jax.lax.rsqrt(r2)
-                inv2 = inv * inv
-                # empty cells: m = 0 ⇒ w = 0 (no NaNs: r2 ≥ ε²); acceptance
-                # is one broadcast multiply from the (8,) mask column.
-                w = (msrc * acc_tab[kt][:, None]) * (inv2 * inv)
-                t3 = 3.0 * w * inv2
-                a_rows.append(
-                    jnp.stack(
-                        [
-                            jnp.sum(w * dx, axis=0),
-                            jnp.sum(w * dy, axis=0),
-                            jnp.sum(w * dz, axis=0),
-                        ]
-                    )
+            # Target child-cell centers: (8, 3, p³)
+            q = jnp.stack(
+                jnp.meshgrid(
+                    jnp.arange(p), jnp.arange(p), jnp.arange(p), indexing="ij"
+                ),
+                axis=0,
+            ).astype(dtype).reshape(3, pc)
+            centers = (
+                pyr.lo.reshape(3, 1)
+                + (
+                    2.0 * q[None, :, :]
+                    + jnp.asarray(kids, dtype)[:, :, None]
+                    + 0.5
                 )
-                wsum = jnp.sum(w, axis=0)
-                j_rows.append(
-                    jnp.stack(
-                        [
-                            jnp.sum(t3 * dx * dx, axis=0) - wsum,
-                            jnp.sum(t3 * dy * dy, axis=0) - wsum,
-                            jnp.sum(t3 * dz * dz, axis=0) - wsum,
-                            jnp.sum(t3 * dx * dy, axis=0),
-                            jnp.sum(t3 * dx * dz, axis=0),
-                            jnp.sum(t3 * dy * dz, axis=0),
-                        ]
-                    )
-                )
-            out_a = out_a + jnp.stack(a_rows, axis=0)   # (8, 3, pc)
-            out_j = out_j + jnp.stack(j_rows, axis=0)   # (8, 6, pc)
-            return (out_a, out_j), None
+                * s_l
+            )  # (8, 3, p³)
 
-        acc_pm = jnp.zeros((8, 3, pc), dtype)
-        jac_pm = jnp.zeros((8, 6, pc), dtype)
-        (acc_pm, jac_pm), _ = jax.lax.scan(
-            body, (acc_pm, jac_pm), (po_all, accept_f)
-        )
+            # Source COM precomputed ONCE per level (not per offset).
+            inv_m = 1.0 / jnp.maximum(m, 1e-30)
+            com = s * inv_m[:, None]                    # (8, 3, p, p, p)
+            pad3 = [(ws, ws), (ws, ws), (ws, ws)]
+            m_pad = jnp.pad(m, [(0, 0)] + pad3)
+            com_pad = jnp.pad(com, [(0, 0), (0, 0)] + pad3)
+
+            eps2 = eps * eps
+
+            def body(carry, x, m_pad=m_pad, com_pad=com_pad,
+                     centers=centers, p=p, pc=pc):
+                po, acc_tab = x  # (3,), (8, 8) float mask
+                zero = jnp.zeros((), po.dtype)
+                msrc = jax.lax.dynamic_slice(
+                    m_pad, (zero, po[0], po[1], po[2]), (8, p, p, p)
+                ).reshape(8, pc)
+                csrc = jax.lax.dynamic_slice(
+                    com_pad, (zero, zero, po[0], po[1], po[2]),
+                    (8, 3, p, p, p),
+                ).reshape(8, 3, pc)
+                comx, comy, comz = csrc[:, 0], csrc[:, 1], csrc[:, 2]
+                out_a, out_j = carry
+                a_rows = []
+                j_rows = []
+                for kt in range(8):
+                    dx = comx - centers[kt, 0]           # (8, pc)
+                    dy = comy - centers[kt, 1]
+                    dz = comz - centers[kt, 2]
+                    r2 = dx * dx + dy * dy + dz * dz + eps2
+                    inv = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
+                    inv2 = inv * inv
+                    # empty cells: m = 0 ⇒ w = 0; acceptance is one
+                    # broadcast multiply from the (8,) mask column.
+                    amask = acc_tab[kt][:, None]
+                    w = (msrc * amask) * (inv2 * inv)
+                    t3 = 3.0 * w * inv2
+                    a_rows.append(
+                        jnp.stack(
+                            [
+                                jnp.sum(w * dx, axis=0),
+                                jnp.sum(w * dy, axis=0),
+                                jnp.sum(w * dz, axis=0),
+                            ]
+                        )
+                    )
+                    wsum = jnp.sum(w, axis=0)
+                    j_rows.append(
+                        jnp.stack(
+                            [
+                                jnp.sum(t3 * dx * dx, axis=0) - wsum,
+                                jnp.sum(t3 * dy * dy, axis=0) - wsum,
+                                jnp.sum(t3 * dz * dz, axis=0) - wsum,
+                                jnp.sum(t3 * dx * dy, axis=0),
+                                jnp.sum(t3 * dx * dz, axis=0),
+                                jnp.sum(t3 * dy * dz, axis=0),
+                            ]
+                        )
+                    )
+                out_a = out_a + jnp.stack(a_rows, axis=0)   # (8, 3, pc)
+                out_j = out_j + jnp.stack(j_rows, axis=0)   # (8, 6, pc)
+                return (out_a, out_j), None
+
+            acc_pm = jnp.zeros((8, 3, pc), dtype)
+            jac_pm = jnp.zeros((8, 6, pc), dtype)
+            (acc_pm, jac_pm), _ = jax.lax.scan(
+                body, (acc_pm, jac_pm), (po_all, accept_f)
+            )
 
         # child-major (8, c, p³) → child grid (dl, dl, dl, c)
         def to_grid(a, c):
@@ -284,17 +582,18 @@ def far_field_grid(
 
         acc_lvl = to_grid(acc_pm, 3)
         jac_lvl = to_grid(jac_pm, 6)
+        hes_lvl = to_grid(hes_pm, 10) if use_quad else None
         if acc is not None:
-            # exact order-1 expansion translation to child centers:
-            # A_child = A_parent + J_parent·δ_k, J_child = J_parent,
+            # exact expansion translation to child centers:
+            # A_child = A + J·δ (+ ½δᵀHδ), J_child = J (+ H·δ), H_child = H,
             # where δ_k = (k − ½)·s_child per axis (8 static offsets).
             s_child = s_l
-            a_rep = jnp.repeat(
-                jnp.repeat(jnp.repeat(acc, 2, 0), 2, 1), 2, 2
-            )
-            j_rep = jnp.repeat(
-                jnp.repeat(jnp.repeat(jac, 2, 0), 2, 1), 2, 2
-            )
+
+            def rep8(x):
+                return jnp.repeat(jnp.repeat(jnp.repeat(x, 2, 0), 2, 1), 2, 2)
+
+            a_rep = rep8(acc)
+            j_rep = rep8(jac)
             # child parity per axis → δ component ±s_child/2
             idx = jnp.arange(dl)
             par = (idx % 2).astype(dtype) - 0.5  # (dl,) values ∓0.5
@@ -306,10 +605,19 @@ def far_field_grid(
             )  # (dl, dl, dl, 3)
             acc_lvl = acc_lvl + a_rep + sym_matvec(j_rep, delta)
             jac_lvl = jac_lvl + j_rep
+            if use_quad:
+                h_rep = rep8(hes)
+                hd6 = sym3_matvec(h_rep, delta)  # (dl,dl,dl,6) = H·δ
+                acc_lvl = acc_lvl + 0.5 * sym_matvec(hd6, delta)
+                jac_lvl = jac_lvl + hd6
+                hes_lvl = hes_lvl + h_rep
         acc = acc_lvl
         jac = jac_lvl
+        hes = hes_lvl
 
-    return G * acc, G * jac
+    if use_quad:
+        return G * acc, G * jac, G * hes
+    return G * acc, G * jac, None
 
 
 def sym_matvec(j6: jax.Array, v: jax.Array) -> jax.Array:
@@ -318,6 +626,27 @@ def sym_matvec(j6: jax.Array, v: jax.Array) -> jax.Array:
     jy = j6[..., 3] * v[..., 0] + j6[..., 1] * v[..., 1] + j6[..., 5] * v[..., 2]
     jz = j6[..., 4] * v[..., 0] + j6[..., 5] * v[..., 1] + j6[..., 2] * v[..., 2]
     return jnp.stack([jx, jy, jz], axis=-1)
+
+
+def sym3_matvec(h10: jax.Array, v: jax.Array) -> jax.Array:
+    """(…, 10) symmetric 3-tensor [xxx,yyy,zzz,xxy,xxz,xyy,yyz,xzz,yzz,xyz]
+    contracted with (…, 3) → the (…, 6) symmetric matrix (H·v)_ij."""
+    vx, vy, vz = v[..., 0], v[..., 1], v[..., 2]
+    xxx, yyy, zzz = h10[..., 0], h10[..., 1], h10[..., 2]
+    xxy, xxz, xyy = h10[..., 3], h10[..., 4], h10[..., 5]
+    yyz, xzz, yzz = h10[..., 6], h10[..., 7], h10[..., 8]
+    xyz = h10[..., 9]
+    return jnp.stack(
+        [
+            xxx * vx + xxy * vy + xxz * vz,  # xx
+            xyy * vx + yyy * vy + yyz * vz,  # yy
+            xzz * vx + yzz * vy + zzz * vz,  # zz
+            xxy * vx + xyy * vy + xyz * vz,  # xy
+            xxz * vx + xyz * vy + xzz * vz,  # xz
+            xyz * vx + yyz * vy + yzz * vz,  # yz
+        ],
+        axis=-1,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -383,6 +712,7 @@ def _near_field(
         "window",
         "near_engine",
         "near_k",
+        "multipole_order",
     ),
 )
 def barnes_hut_forces(
@@ -396,6 +726,7 @@ def barnes_hut_forces(
     window: int = 2048,
     near_engine: str = "tiles",
     near_k: int = 16,
+    multipole_order: int = 2,
 ):
     """Full BH acceleration: pyramid far field + exact near field.
 
@@ -403,10 +734,13 @@ def barnes_hut_forces(
     occupancy the BH finest level is sized for) or "window" (sorted-window
     sweep — for unusually dense scenes; raise ``window`` until its overflow
     reads 0). ``near_k`` is the tiles-engine per-cell slot cap.
+    multipole_order: 2 = monopole+quadrupole sources at ws = ceil(1/(2θ))
+    (the default: same accuracy as monopole ws = ceil(1/θ) with a
+    (2ws+1)³-fold smaller near field); 1 = classic monopole-only.
     """
-    ws = theta_to_ws(theta)
-    pyr = build_pyramid(pos, mass, levels)
-    a_far, j_far = far_field_grid(pyr, ws, G, softening, levels)
+    ws = theta_to_ws(theta, order=multipole_order)
+    pyr = build_pyramid(pos, mass, levels, order=multipole_order)
+    a_far, j_far, h_far = far_field_grid(pyr, ws, G, softening, levels)
     if near_engine == "tiles":
         from nbody_tpu.ops.tile_sweep import tile_near_field
 
@@ -430,12 +764,21 @@ def barnes_hut_forces(
         a_near, _over, coords = _near_field(
             pos, mass, pyr.lo, pyr.cell, G, softening, ws, levels, window
         )
-    # Evaluate the local expansion at the particle: a(x) = A[c] + J[c]·(x−ctr)
-    # — ONE packed gather per particle (A3 + J6 contiguous).
+    # Evaluate the local expansion at the particle:
+    # a(x) = A[c] + J[c]·δ (+ ½(H[c]·δ)·δ) — ONE packed gather per particle
+    # (A3 + J6 (+ H10) contiguous).
     centers = pyr.lo + (coords.astype(pos.dtype) + 0.5) * pyr.cell
-    packed = jnp.concatenate([a_far, j_far], axis=-1)  # (d, d, d, 9)
-    vals = packed[coords[:, 0], coords[:, 1], coords[:, 2]]  # (N, 9)
-    pick = vals[:, :3] + sym_matvec(vals[:, 3:9], pos - centers)
+    parts = [a_far, j_far] + ([h_far] if h_far is not None else [])
+    packed = jnp.concatenate(parts, axis=-1)  # (d, d, d, 9 or 19)
+    d_fine = packed.shape[0]
+    cid = (coords[:, 0] * d_fine + coords[:, 1]) * d_fine + coords[:, 2]
+    vals = packed.reshape(d_fine**3, packed.shape[-1])[cid]  # linear gather
+    delta = pos - centers
+    pick = vals[:, :3] + sym_matvec(vals[:, 3:9], delta)
+    if h_far is not None:
+        pick = pick + 0.5 * sym_matvec(
+            sym3_matvec(vals[:, 9:19], delta), delta
+        )
     return a_near + pick
 
 

@@ -59,7 +59,9 @@ def tile_near_field(
     rank_sorted = arange - grid.cell_start[ids_sorted]
     overflow = jnp.sum((rank_sorted >= k).astype(jnp.int32))
 
-    # tiles with inert empty slots at cell centers
+    # tiles with inert empty slots at cell centers. The scatter uses LINEAR
+    # row indices into (d³·(k+1), 4) — measured ~10× faster on TPU than the
+    # equivalent 4-D index scatter (slot k is the overflow sink, sliced off).
     cgrid = jnp.stack(
         jnp.meshgrid(
             jnp.arange(d), jnp.arange(d), jnp.arange(d), indexing="ij"
@@ -67,20 +69,19 @@ def tile_near_field(
         axis=-1,
     ).astype(pos.dtype)
     centers = lo + (cgrid + 0.5) * cell  # (d, d, d, 3)
-    tiles = jnp.concatenate(
+    rank_capped = jnp.minimum(rank_sorted, k)
+    flat = ids_sorted * (k + 1) + rank_capped
+    init = jnp.concatenate(
         [
-            jnp.broadcast_to(centers[:, :, :, None, :], (d, d, d, k, 3)),
-            jnp.zeros((d, d, d, k, 1), pos.dtype),
+            jnp.broadcast_to(centers[:, :, :, None, :], (d, d, d, k + 1, 3)),
+            jnp.zeros((d, d, d, k + 1, 1), pos.dtype),
         ],
         axis=-1,
+    ).reshape(num_cells * (k + 1), 4)
+    tiles = (
+        init.at[flat].set(grid.psort)
+        .reshape(d, d, d, k + 1, 4)[:, :, :, :k, :]
     )
-    rank_capped = jnp.minimum(rank_sorted, k)  # k = out of bounds → dropped
-    tiles = tiles.at[
-        grid.csort[:, 0],
-        grid.csort[:, 1],
-        grid.csort[:, 2],
-        rank_capped,
-    ].set(grid.psort, mode="drop")
 
     # Dense sweep over the Chebyshev ball. Layout: slot axis on SUBLANES,
     # flattened cells on LANES — (k, 4, d, d, d) — so the VPU runs at full
@@ -99,12 +100,7 @@ def tile_near_field(
         from nbody_tpu.ops.pallas_tile_near import tile_sweep_pallas
 
         acc_slots = tile_sweep_pallas(tiles_t, k=k, d=d, ws=ws, eps=eps)
-        rank_read = jnp.minimum(rank_sorted, k - 1)
-        acc_sorted = acc_slots[
-            rank_read, :, grid.csort[:, 0], grid.csort[:, 1], grid.csort[:, 2]
-        ]
-        acc_sorted = jnp.where((rank_sorted < k)[:, None], acc_sorted, 0.0)
-        acc = jnp.zeros((n, 3), pos.dtype).at[grid.order].set(G * acc_sorted)
+        acc = _slot_pickup(acc_slots, grid, ids_sorted, rank_sorted, k, n, G)
         return acc, overflow
     r = range(-ws, ws + 1)
     offs = np.asarray(
@@ -147,12 +143,18 @@ def tile_near_field(
     acc0 = jnp.zeros((k, 3, pc), pos.dtype)
     acc_slots, _ = jax.lax.scan(body, acc0, offsets_arr)
     acc_slots = acc_slots.reshape(k, 3, d, d, d)
+    return _slot_pickup(acc_slots, grid, ids_sorted, rank_sorted, k, n, G), overflow
 
-    # per-particle pickup (sorted order → original order)
+
+def _slot_pickup(acc_slots, grid, ids_sorted, rank_sorted, k, n, G):
+    """Per-particle pickup: (k, 3, d, d, d) slot accelerations → (N, 3) in
+    ORIGINAL particle order. One transpose then a LINEAR row gather
+    (cell·k + rank), then the inverse-permutation scatter."""
+    d = acc_slots.shape[-1]
+    acc_t = acc_slots.transpose(2, 3, 4, 0, 1).reshape(d * d * d * k, 3)
     rank_read = jnp.minimum(rank_sorted, k - 1)
-    acc_sorted = acc_slots[
-        rank_read, :, grid.csort[:, 0], grid.csort[:, 1], grid.csort[:, 2]
-    ]
+    acc_sorted = acc_t[ids_sorted * k + rank_read]
     acc_sorted = jnp.where((rank_sorted < k)[:, None], acc_sorted, 0.0)
-    acc = jnp.zeros((n, 3), pos.dtype).at[grid.order].set(G * acc_sorted)
-    return acc, overflow
+    return jnp.zeros((n, 3), acc_sorted.dtype).at[grid.order].set(
+        G * acc_sorted
+    )
