@@ -109,6 +109,55 @@ def _outer6(v: jax.Array) -> jax.Array:
     return jnp.stack([x * x, y * y, z * z, x * y, x * z, y * z], axis=-1)
 
 
+def pyramid_geometry(lo: jax.Array, hi: jax.Array, levels: int):
+    """(lo, cell) of the cube grid enclosing [lo, hi] at 2^levels per axis."""
+    d = 1 << levels
+    cube = jnp.maximum(jnp.max(hi - lo), 1e-6) * (1.0 + 1e-5)
+    return lo, cube / d
+
+
+def scatter_finest_moments(
+    pos: jax.Array,
+    mass: jax.Array,
+    coords: jax.Array,
+    lo: jax.Array,
+    cell: jax.Array,
+    d: int,
+    order: int = 1,
+) -> jax.Array:
+    """Scatter-add particle moments into the finest grid.
+
+    Returns packed (d, d, d, C) moments: C=10 for order 2
+    ([m, m·xr, m·xr⊗xr], xr center-relative), C=4 for order 1
+    ([m, m·x] absolute). SPLIT OUT of ``build_pyramid`` so the sharded
+    path (parallel/tree.py) can psum-combine per-device partial moments —
+    scatter-add commutes with the device sum.
+    """
+    cid = (coords[:, 0] * d + coords[:, 1]) * d + coords[:, 2]
+    if order >= 2:
+        # ONE packed (N, 10) scatter-add with LINEAR row indices:
+        # [m, m·xr, m·xr⊗xr], xr the center-relative position (wide rows +
+        # linear indices amortize the scatter on TPU).
+        ctr = lo + (coords.astype(pos.dtype) + 0.5) * cell
+        xr = pos - ctr
+        vals = jnp.concatenate(
+            [mass[:, None], mass[:, None] * xr, mass[:, None] * _outer6(xr)],
+            axis=-1,
+        )
+        return (
+            jnp.zeros((d * d * d, 10), pos.dtype)
+            .at[cid]
+            .add(vals)
+            .reshape(d, d, d, 10)
+        )
+    return (
+        jnp.zeros((d * d * d, 4), pos.dtype)
+        .at[cid]
+        .add(jnp.concatenate([mass[:, None], mass[:, None] * pos], axis=-1))
+        .reshape(d, d, d, 4)
+    )
+
+
 def build_pyramid(
     pos: jax.Array, mass: jax.Array, levels: int, order: int = 1
 ) -> Pyramid:
@@ -122,43 +171,29 @@ def build_pyramid(
     extended one multipole order.)
     """
     d = 1 << levels
-    lo = jnp.min(pos, axis=0)
-    hi = jnp.max(pos, axis=0)
-    cube = jnp.maximum(jnp.max(hi - lo), 1e-6) * (1.0 + 1e-5)
-    cell = cube / d
+    lo, cell = pyramid_geometry(
+        jnp.min(pos, axis=0), jnp.max(pos, axis=0), levels
+    )
     coords = jnp.clip(((pos - lo) / cell).astype(jnp.int32), 0, d - 1)
+    packed = scatter_finest_moments(pos, mass, coords, lo, cell, d, order)
+    return pyramid_from_packed(packed, lo, cell, levels, order)
 
-    cid = (coords[:, 0] * d + coords[:, 1]) * d + coords[:, 2]
+
+def pyramid_from_packed(
+    packed: jax.Array,
+    lo: jax.Array,
+    cell: jax.Array,
+    levels: int,
+    order: int = 1,
+) -> Pyramid:
+    """Upward pass: packed finest moments → full multipole pyramid."""
+    pos_dtype = packed.dtype
+    d = 1 << levels
     if order >= 2:
-        # ONE packed (N, 10) scatter-add with LINEAR row indices:
-        # [m, m·xr, m·xr⊗xr], xr the center-relative position (wide rows +
-        # linear indices amortize the scatter on TPU).
-        ctr = lo + (coords.astype(pos.dtype) + 0.5) * cell
-        xr = pos - ctr
-        vals = jnp.concatenate(
-            [mass[:, None], mass[:, None] * xr, mass[:, None] * _outer6(xr)],
-            axis=-1,
-        )
-        packed = (
-            jnp.zeros((d * d * d, 10), pos.dtype)
-            .at[cid]
-            .add(vals)
-            .reshape(d, d, d, 10)
-        )
         m_fine = packed[..., 0]
         sr_fine = packed[..., 1:4]  # center-relative Σ m·xr
         q_fine = packed[..., 4:10]
     else:
-        packed = (
-            jnp.zeros((d * d * d, 4), pos.dtype)
-            .at[cid]
-            .add(
-                jnp.concatenate(
-                    [mass[:, None], mass[:, None] * pos], axis=-1
-                )
-            )
-            .reshape(d, d, d, 4)
-        )
         m_fine = packed[..., 0]
         s_fine = packed[..., 1:4]
 
@@ -177,7 +212,7 @@ def build_pyramid(
             # δ per octant: child center − parent center = ±(child edge)/2.
             # Child level after `lvl` reductions has edge cell·2^lvl.
             e = cell * (1 << lvl) * 0.5
-            par = jnp.asarray([-0.5, 0.5], pos.dtype) * 2.0 * e  # (2,) = ∓e
+            par = jnp.asarray([-0.5, 0.5], pos_dtype) * 2.0 * e  # (2,) = ∓e
             dx = par.reshape(1, 2, 1, 1, 1, 1)
             dy = par.reshape(1, 1, 1, 2, 1, 1)
             dz = par.reshape(1, 1, 1, 1, 1, 2)
@@ -217,7 +252,7 @@ def build_pyramid(
         for lvl_i, (m_l, s_l) in enumerate(zip(masses, srels)):
             dl = m_l.shape[0]
             edge = cell * (1 << lvl_i)
-            idx = (jnp.arange(dl, dtype=pos.dtype) + 0.5) * edge
+            idx = (jnp.arange(dl, dtype=pos_dtype) + 0.5) * edge
             ctr_l = lo + jnp.stack(
                 jnp.meshgrid(idx, idx, idx, indexing="ij"), axis=-1
             )

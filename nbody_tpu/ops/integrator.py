@@ -83,34 +83,113 @@ def kinetic_energy(state: ParticleState) -> jax.Array:
     return 0.5 * jnp.sum(state.mass * jnp.sum(state.vel * state.vel, axis=-1))
 
 
-@functools.partial(jax.jit, static_argnames=("block_size",))
 def potential_energy(
-    pos, mass, G=1.0, softening=0.1, *, block_size: int = 256
+    pos,
+    mass,
+    G=1.0,
+    softening=0.1,
+    *,
+    block_size: int = 256,
+    accumulate: str = "f32",
 ) -> jax.Array:
     """PE = −G Σ_{i<j} m_i·m_j / √(r² + ε²) (reference: integrator.cu:81-119).
 
     Computed as half the full (i ≠ j) double sum, blocked over i so the pair
-    matrix never materializes. Accumulates in float32 with a hierarchical
-    (per-block, then cross-block) reduction.
+    matrix never materializes.
+
+    ``accumulate`` selects the summation path (the PE terms are all one
+    sign, so f32 rounding accumulates coherently — at N ≥ 1M the plain-f32
+    sum error can approach the 1e-4 drift target it is supposed to measure;
+    docs/specs/quality-attributes.md):
+
+      * ``"f32"``   — plain hierarchical f32 (fast; per-step observability)
+      * ``"kahan"`` — TPU-native compensated summation: Kahan carries both
+        across source chunks inside a block row and across block partials;
+        measurement error ~O(ε_machine), independent of N
+      * ``"f64"``   — cast pair terms to f64 (requires ``jax_enable_x64``;
+        CPU verification path — TPU has no native f64)
     """
+    # Validate OUTSIDE jit: trace-time checks are skipped on cache hits,
+    # and f64-without-x64 would silently compute in f32.
+    if accumulate not in ("f32", "kahan", "f64"):
+        raise ValueError(f"unknown accumulate mode {accumulate!r}")
+    if accumulate == "f64" and not jax.config.jax_enable_x64:
+        raise ValueError("accumulate='f64' requires jax_enable_x64")
+    return _potential_energy_jit(
+        pos, mass, G, softening, block_size=block_size, accumulate=accumulate
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "accumulate"))
+def _potential_energy_jit(
+    pos, mass, G, softening, *, block_size: int, accumulate: str
+) -> jax.Array:
     n = pos.shape[0]
     b = min(block_size, max(n, 1))
     n_pad = -(-n // b) * b
     pos_p = jnp.pad(pos, ((0, n_pad - n), (0, 0)))
     mass_p = jnp.pad(mass, (0, n_pad - n))
     eps2 = softening * softening
+    n_blocks = n_pad // b
 
-    pos_blocks = pos_p.reshape(n_pad // b, b, 3)
-    mass_blocks = mass_p.reshape(n_pad // b, b)
+    pos_blocks = pos_p.reshape(n_blocks, b, 3)
+    mass_blocks = mass_p.reshape(n_blocks, b)
+
+    def pair_terms(pb, mb, ps, ms):
+        d = ps[None, :, :] - pb[:, None, :]             # (b, chunk, 3)
+        r2_raw = jnp.sum(d * d, axis=-1)
+        inv_r = jax.lax.rsqrt(r2_raw + eps2)
+        e = mb[:, None] * ms[None, :] * inv_r           # (b, chunk)
+        return jnp.where(r2_raw == 0.0, 0.0, e)        # exclude self pairs
+
+    if accumulate == "f64":
+
+        def one_block(args):
+            pb, mb = args
+            e = pair_terms(pb, mb, pos_p, mass_p).astype(jnp.float64)
+            return jnp.sum(e)
+
+        partials = jax.lax.map(one_block, (pos_blocks, mass_blocks))
+        return (-0.5 * G * jnp.sum(partials)).astype(pos.dtype)
+
+    if accumulate == "kahan":
+        # Kahan level 1: per-row (s, c) carries over source chunks.
+        def one_block(args):
+            pb, mb = args
+
+            def chunk_body(carry, src):
+                s, c = carry
+                ps, ms = src
+                e = jnp.sum(pair_terms(pb, mb, ps, ms), axis=1)  # (b,)
+                y = e - c
+                t = s + y
+                return (t, (t - s) - y), None
+
+            z = jnp.zeros((b,), pos.dtype)
+            (s, _), _ = jax.lax.scan(
+                chunk_body, (z, z), (pos_blocks, mass_blocks)
+            )
+            return jnp.sum(s)  # b ≤ 256 values: tree-sum error negligible
+
+        partials = jax.lax.map(one_block, (pos_blocks, mass_blocks))
+
+        # Kahan level 2: across block partials.
+        def part_body(carry, x):
+            s, c = carry
+            y = x - c
+            t = s + y
+            return (t, (t - s) - y), None
+
+        (total, _), _ = jax.lax.scan(
+            part_body,
+            (jnp.zeros((), pos.dtype), jnp.zeros((), pos.dtype)),
+            partials,
+        )
+        return -0.5 * G * total
 
     def one_block(args):
         pb, mb = args
-        d = pos_p[None, :, :] - pb[:, None, :]          # (b, N, 3)
-        r2_raw = jnp.sum(d * d, axis=-1)
-        inv_r = jax.lax.rsqrt(r2_raw + eps2)
-        e = mb[:, None] * mass_p[None, :] * inv_r       # (b, N)
-        e = jnp.where(r2_raw == 0.0, 0.0, e)            # exclude self pairs
-        return jnp.sum(e, axis=1)
+        return jnp.sum(pair_terms(pb, mb, pos_p, mass_p), axis=1)
 
     per_particle = jax.lax.map(one_block, (pos_blocks, mass_blocks))
     return -0.5 * G * jnp.sum(per_particle)

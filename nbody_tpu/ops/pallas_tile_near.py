@@ -1,22 +1,24 @@
 """Pallas TPU kernel for the dense cell-tile near-field sweep.
 
-Drop-in accelerator for the hot loop of nbody_tpu/ops/tile_sweep.py. The
-XLA formulation streams (K, pc)-sized intermediates through HBM (fusion
-limits); this kernel keeps the working set in VMEM.
+Drop-in accelerator for the hot loop of nbody_tpu/ops/tile_sweep.py — the
+exact near-field pair sum of the Barnes-Hut pipeline (the analogue of the
+reference's traversal near-misses, force_barnes_hut.cu:130-201). The XLA
+formulation streams every (K, cells) intermediate through HBM and runs at
+~0.2 T elementwise-ops/s (measured 210 ms at 1M/L6/k16); this kernel keeps
+one x-slab of the tile grid in VMEM and sweeps all (2ws+1)³ neighbor
+offsets with STATIC lane shifts.
 
-Mosaic constraint shaping (learned the hard way):
-  * dynamic lane-dim offsets are rejected → the z shifts are PRE-MATERIALIZED
-    in XLA as 2ws+1 statically shifted copies, making z a plain indexable
-    axis and the lane dim a full static D-wide row;
-  * DMA slices need tiling-aligned trailing dims → Y is padded to 8, the
-    lane dim is exactly D (power of two);
-  * VMEM is ~16 MB → the grid is (D, y-halves) so each program's slab
-    (K, 4, 2ws+1 x-rows, 2ws+1 z-shifts, Yhalf+2ws+pad, D) stays ≤ ~12 MB.
+v3 layout (two earlier versions died on Mosaic's dynamic-sublane loads):
 
-Layout: slot axis on sublanes... strictly: per (xo, zo, yo) offset the
-kernel reads source rows (K_s, Y, D) and sweeps K_t target rows with
-pure VPU math; empty slots carry mass 0 at their cell center and are
-inert. Coincident/self pairs need masking only at ε = 0.
+  * tiles rearranged to (X + 2ws, 4, K, Lp): x-planes lead (DMA'd with a
+    dynamic LEADING index — the one dynamic offset Mosaic likes), channels
+    (x,y,z,m) next, slot axis K on sublanes, and the (y, z) plane FLATTENED
+    onto lanes with halo pads, so that the neighbor offset (dy, dz) is a
+    STATIC lane shift of dy·Zp + dz.
+  * one program per x-plane: DMA the (2ws+1)-plane slab, then for each of
+    the (2ws+1)³ offsets evaluate all K_t × K_s slot pairs as ONE
+    broadcasted (K, K, L) VPU block — empty slots carry mass 0 and sit at
+    their cell center, so they are inert.
 """
 
 from __future__ import annotations
@@ -33,76 +35,59 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _near_kernel(
-    tiles_hbm, acc_ref, *, k, d, dl, ws, yh, yhp, eps, zero_guard
-):
-    """One (x-plane, y-chunk) program.
+def _near_kernel(tiles_hbm, acc_ref, *, k, d, ws, zp, l, p2, lpad, eps,
+                 zero_guard):
+    """One x-plane program.
 
-    tiles_hbm: (K, 4, D+2ws, 2ws+1, Yp, DL) — dim 3 indexes the z-shift,
-               lane dim DL is D rounded to 128 (DMA tiling)
-    acc_ref:   (K, 3, 1, YH, D) VMEM
+    tiles_hbm: (D+2ws, 4, K, Lp) ANY — x-padded planes, lanes = flattened
+               padded (y, z) with an extra ±P2 shift margin
+    acc_ref:   (1, 3, K, Lp) VMEM — this plane's per-slot accelerations
     """
     w1 = 2 * ws + 1
     eps2 = eps * eps
-    i = pl.program_id(0)   # x-plane
-    h = pl.program_id(1)   # y-chunk
+    i = pl.program_id(0)
 
     def inner(slab, sem):
-        # slab: (K, 4, w1, w1, YHP, DL); source y rows for this chunk
-        # start at h*yh in padded coords.
-        cp = pltpu.make_async_copy(
-            tiles_hbm.at[:, :, pl.ds(i, w1), :, pl.ds(h * yh, yhp)],
-            slab,
-            sem,
-        )
+        cp = pltpu.make_async_copy(tiles_hbm.at[pl.ds(i, w1)], slab, sem)
         cp.start()
         cp.wait()
 
-        # target rows: central x (xo = ws), unshifted z (zo = ws), y rows
-        # ws..ws+yh within the slab
-        tx = slab[:, 0, ws, ws, ws : ws + yh, :]   # (K, YH, DL)
-        ty = slab[:, 1, ws, ws, ws : ws + yh, :]
-        tz = slab[:, 2, ws, ws, ws : ws + yh, :]
+        # Target rows: central x-plane, unshifted lanes.
+        tx = slab[ws, 0, :, p2:p2 + l]          # (K, L)
+        ty = slab[ws, 1, :, p2:p2 + l]
+        tz = slab[ws, 2, :, p2:p2 + l]
 
-        acc = jnp.zeros((k, 3, yh, dl), jnp.float32)
-
-        def off_body(o, acc):
-            xo = o // (w1 * w1)
-            yo = (o // w1) % w1
-            zo = o % w1
-            sx = slab[:, 0, xo, zo, pl.ds(yo, yh), :]   # (K, YH, DL)
-            sy = slab[:, 1, xo, zo, pl.ds(yo, yh), :]
-            sz = slab[:, 2, xo, zo, pl.ds(yo, yh), :]
-            sm = slab[:, 3, xo, zo, pl.ds(yo, yh), :]
-            rows = []
-            for kt in range(k):
-                dx = sx - tx[kt]
-                dy = sy - ty[kt]
-                dz = sz - tz[kt]
-                r2 = dx * dx + dy * dy + dz * dz
-                inv = jax.lax.rsqrt(r2 + eps2)
-                w = sm * (inv * inv * inv)
-                if zero_guard:
-                    w = jnp.where(r2 == 0.0, 0.0, w)
-                rows.append(
-                    jnp.stack(
+        acc = jnp.zeros((3, k, l), jnp.float32)
+        for xo in range(w1):
+            for yo in range(-ws, ws + 1):
+                for zo in range(-ws, ws + 1):
+                    off = p2 + yo * zp + zo
+                    sx = slab[xo, 0, :, off:off + l]   # (K_s, L)
+                    sy = slab[xo, 1, :, off:off + l]
+                    sz = slab[xo, 2, :, off:off + l]
+                    sm = slab[xo, 3, :, off:off + l]
+                    dx = sx[None] - tx[:, None]        # (K_t, K_s, L)
+                    dy = sy[None] - ty[:, None]
+                    dz = sz[None] - tz[:, None]
+                    r2 = dx * dx + dy * dy + dz * dz
+                    inv = jax.lax.rsqrt(r2 + eps2)
+                    w = sm[None] * (inv * inv * inv)
+                    if zero_guard:
+                        w = jnp.where(r2 == 0.0, 0.0, w)
+                    acc = acc + jnp.stack(
                         [
-                            jnp.sum(w * dx, axis=0),
-                            jnp.sum(w * dy, axis=0),
-                            jnp.sum(w * dz, axis=0),
+                            jnp.sum(w * dx, axis=1),
+                            jnp.sum(w * dy, axis=1),
+                            jnp.sum(w * dz, axis=1),
                         ]
                     )
-                )
-            return acc + jnp.stack(rows, axis=0)
+        acc_ref[0] = jnp.zeros((3, k, lpad), jnp.float32)
+        acc_ref[0, :, :, p2:p2 + l] = acc
 
-        acc = jax.lax.fori_loop(0, w1 * w1 * w1, off_body, acc)
-        acc_ref[:, :, 0, :, :] = acc[:, :, :, :d]
-
+    w1 = 2 * ws + 1
     pl.run_scoped(
         inner,
-        slab=pltpu.VMEM(
-            (k, 4, 2 * ws + 1, 2 * ws + 1, yhp, dl), jnp.float32
-        ),
+        slab=pltpu.VMEM((w1, 4, k, lpad), jnp.float32),
         sem=pltpu.SemaphoreType.DMA(()),
     )
 
@@ -125,60 +110,44 @@ def tile_sweep_pallas(
     cells on lanes). Returns un-scaled accelerations (multiply by G).
     """
     w1 = 2 * ws + 1
-    # y chunk per program, sized so the slab fits VMEM with the lane dim
-    # padded to 128 (DMA tiling requirement)
-    dl = _round_up(d, 128)
-    budget = (10 * 1024 * 1024) // (k * 4 * w1 * w1 * dl * 4)
-    yh = 8
-    while yh * 2 <= min(d, max(budget, 8)):
-        yh *= 2
-    yh = min(yh, d)
-    yhp = _round_up(yh + 2 * ws, 8)
+    yp = d + 2 * ws
+    zp = d + 2 * ws
+    l = yp * zp
+    p2 = ws * zp + ws  # max |lane shift| for any (dy, dz) offset
+    lpad = _round_up(l + 2 * p2, 128)
 
-    # Pad x and y by ws; z padding is folded into the shifted copies.
-    zpad = jnp.pad(
-        tiles_t, [(0, 0), (0, 0), (ws, ws), (ws, yhp - yh - ws), (ws, ws)]
-    )  # (K, 4, D+2ws, Yp, D+2ws)
-    # Pre-materialize the z shifts with the lane dim padded to 128:
-    # (K, 4, D+2ws, w1, Yp, DL). Pad slots carry mass 0 → inert.
-    shifted = jnp.stack(
-        [
-            jnp.pad(zpad[..., zo : zo + d], [(0, 0)] * 4 + [(0, dl - d)])
-            for zo in range(w1)
-        ],
-        axis=3,
-    )
+    # (K, 4, D, D, D) → (x, ch, slot, y, z) → (D+2ws, 4, K, Lp)
+    t = tiles_t.transpose(2, 1, 0, 3, 4)  # (D_x, 4, K, D_y, D_z)
+    t = jnp.pad(
+        t, [(ws, ws), (0, 0), (0, 0), (ws, ws), (ws, ws)]
+    )  # (D+2ws, 4, K, Yp, Zp)
+    t = t.reshape(d + 2 * ws, 4, k, l)
+    t = jnp.pad(t, [(0, 0), (0, 0), (0, 0), (p2, lpad - l - 2 * p2 + p2)])
 
     zero_guard = eps == 0.0
-
     out = pl.pallas_call(
         functools.partial(
-            _near_kernel,
-            k=k,
-            d=d,
-            dl=dl,
-            ws=ws,
-            yh=yh,
-            yhp=yhp,
-            eps=float(eps),
-            zero_guard=zero_guard,
+            _near_kernel, k=k, d=d, ws=ws, zp=zp, l=l, p2=p2, lpad=lpad,
+            eps=float(eps), zero_guard=zero_guard,
         ),
-        grid=(d, d // yh),
+        grid=(d,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (k, 3, 1, yh, d),
-            lambda i, h: (0, 0, i, h, 0),
+            (1, 3, k, lpad), lambda i: (i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((k, 3, d, d, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((d, 3, k, lpad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=int(w1**3) * k * k * d * d * d * 12,
-            bytes_accessed=int(d) * 2 * (k * 4 * w1 * w1 * yhp * d) * 4,
-            transcendentals=int(w1**3) * k * k * d * d * d,
+            flops=int(w1**3) * k * k * d * l * 12,
+            bytes_accessed=int(d) * (w1 * 4 * k * lpad + 3 * k * lpad) * 4,
+            transcendentals=int(w1**3) * k * k * d * l,
         ),
         interpret=interpret,
-    )(shifted)
-    return out
+    )(t)
+    # (D, 3, K, Lp) → (K, 3, D, D, D): strip the shift margin + halo pads.
+    out = out[:, :, :, p2:p2 + l].reshape(d, 3, k, yp, zp)
+    out = out[:, :, :, ws:ws + d, ws:ws + d]
+    return out.transpose(2, 1, 0, 3, 4)

@@ -2,10 +2,10 @@
 
 Builds the full Velocity Verlet step for a particle-sharded state:
 kinematic updates are local (elementwise over the sharded axis), forces
-come from the ring (direct) or from pjit-propagated sharded programs
-(hash / Barnes-Hut: the sorted-grid and pyramid builds go through XLA's
-SPMD partitioner, which inserts the all-to-all/psum collectives the sort
-and scatter need), and energies reduce with psum.
+come from the ppermute ring (direct), the designed tree/hash paths
+(parallel/tree.py: psum-combined pyramid + slab-routed near field) when
+the grid divides the mesh, or pjit-propagated sharded programs as the
+fallback, and energies reduce with psum.
 """
 
 from __future__ import annotations
@@ -35,8 +35,55 @@ def make_sharded_force_fn(
 
         return force_fn
 
-    # Hash / BH: single-program path under pjit; XLA's SPMD partitioner
-    # shards the dense sweeps and inserts collectives for sort/scatter.
+    # Hash / BH: the DESIGNED distributed paths (parallel/tree.py —
+    # psum-combined pyramid, slab routing, ppermute halo) whenever the
+    # grid splits evenly over the mesh; otherwise the single-program
+    # path under pjit (XLA's SPMD partitioner inserts the collectives
+    # the global sort/scatter imply).
+    n_dev = mesh.devices.size
+    if config.force_method == ForceMethod.BARNES_HUT:
+        d = 1 << config.bh_max_level
+        if d % n_dev == 0:
+            import math
+
+            from nbody_tpu.parallel.tree import sharded_barnes_hut_forces
+
+            occ = config.particle_count / float(d**3)
+            raw = occ + 5.0 * math.sqrt(occ + 1.0)
+            near_k = int(min(64, max(8, -(-raw // 8) * 8)))
+
+            def force_fn(pos, mass):
+                return sharded_barnes_hut_forces(
+                    pos,
+                    mass,
+                    mesh,
+                    config.G,
+                    config.softening,
+                    config.barnes_hut_theta,
+                    levels=config.bh_max_level,
+                    near_k=near_k,
+                )
+
+            return force_fn
+    elif config.force_method == ForceMethod.SPATIAL_HASH:
+        if config.hash_max_grid_dim % n_dev == 0:
+            from nbody_tpu.parallel.tree import sharded_spatial_hash_forces
+
+            def force_fn(pos, mass):
+                return sharded_spatial_hash_forces(
+                    pos,
+                    mass,
+                    mesh,
+                    config.G,
+                    config.softening,
+                    cutoff=config.spatial_hash_cutoff,
+                    cell_size=config.spatial_hash_cell_size,
+                    cap=config.hash_max_grid_dim,
+                    max_per_cell=config.hash_max_per_cell,
+                )
+
+            return force_fn
+
     from nbody_tpu.ops.forces import make_force_fn
 
     inner = make_force_fn(config)

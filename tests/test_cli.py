@@ -252,3 +252,20 @@ class TestKeyControls:
         assert key_to_action("q") == "quit"
         assert key_to_action("\x1b") == "quit"
         assert key_to_action("z") is None
+
+
+def test_debug_nans_enables_checking():
+    """--debug-nans flips jax_debug_nans before any device work
+    (docs/specs/simulation-control.md: Numerical Fault Reporting)."""
+    import jax
+
+    from nbody_tpu.app import Application
+    from nbody_tpu.cli import parse_app_cli_options
+
+    assert not jax.config.jax_debug_nans
+    opts = parse_app_cli_options(["--debug-nans", "--list-algorithms"])
+    try:
+        assert Application(opts).run() == 0
+        assert jax.config.jax_debug_nans
+    finally:
+        jax.config.update("jax_debug_nans", False)

@@ -127,3 +127,40 @@ def test_time_reversibility():
     np.testing.assert_allclose(
         np.asarray(back.vel), np.asarray(state.vel), atol=1e-4
     )
+
+
+def test_potential_energy_accumulate_modes(key):
+    """Kahan-compensated PE matches the f64 reference sum to ~machine-ε
+    (docs/specs/force-computation.md: Energy Accounting). The plain-f32
+    path drifts coherently (all terms one sign), which is why the
+    north-star measurement uses 'kahan'."""
+    import jax
+    import pytest
+
+    from nbody_tpu.models import init_spherical
+    from nbody_tpu.types import SphericalDistParams
+
+    s = init_spherical(key, 4096, SphericalDistParams(radius=2.0))
+
+    pe_f32 = float(potential_energy(s.pos, s.mass, 1.0, 0.1))
+    pe_kahan = float(
+        potential_energy(s.pos, s.mass, 1.0, 0.1, accumulate="kahan")
+    )
+    with jax.enable_x64():
+        pe_f64 = float(
+            potential_energy(s.pos, s.mass, 1.0, 0.1, accumulate="f64")
+        )
+
+    assert abs(pe_kahan - pe_f64) / abs(pe_f64) < 1e-6
+    assert abs(pe_f32 - pe_f64) / abs(pe_f64) < 1e-4  # f32 is coarser
+
+    # conftest enables x64 suite-wide; the guard must fire when it's off
+    prev = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", False)
+    try:
+        with pytest.raises(ValueError, match="x64"):
+            potential_energy(s.pos, s.mass, 1.0, 0.1, accumulate="f64")
+    finally:
+        jax.config.update("jax_enable_x64", prev)
+    with pytest.raises(ValueError, match="unknown"):
+        potential_energy(s.pos, s.mass, 1.0, 0.1, accumulate="bogus")

@@ -37,6 +37,15 @@ def test_mesh_has_eight_devices(mesh):
     assert mesh.devices.size == 8
 
 
+def test_mesh_validation():
+    """Requesting more devices than exist raises with both counts
+    (docs/specs/sharding.md: Mesh validation)."""
+    from nbody_tpu.errors import ValidationError
+
+    with pytest.raises(ValidationError, match="1000"):
+        make_mesh(1000)
+
+
 def test_ring_matches_direct(mesh, key):
     s = init_spherical(key, 512, SphericalDistParams(radius=5.0))
     ref = direct_forces_reference(s.pos, s.mass, 1.0, 0.1)
@@ -192,3 +201,64 @@ def test_multi_step_energy_drift_sharded(mesh):
     ke1, pe1 = sharded_energy(sharded, mesh, 1.0, 0.1)
     e1 = float(ke1 + pe1)
     assert abs((e1 - e0) / e0) < 0.01
+
+
+class TestShardedTree:
+    """Designed distributed BH/hash (parallel/tree.py): psum-combined
+    pyramid + slab-routed near field + ppermute halo. Equivalence is
+    allclose vs the single-device engines — not merely isfinite
+    (docs/specs/sharding.md). Sizes are compile-budget-tuned: order=1 and
+    small k keep the 8-device CPU build under a minute."""
+
+    def test_sharded_bh_matches_single(self, mesh, key):
+        from nbody_tpu.ops.barnes_hut import barnes_hut_forces
+        from nbody_tpu.parallel.tree import sharded_barnes_hut_forces
+
+        s = init_spherical(key, 512, SphericalDistParams(radius=4.0))
+        kw = dict(
+            G=1.0, softening=0.1, theta=0.5, levels=3, near_k=8,
+            multipole_order=1,
+        )
+        got, overflow = sharded_barnes_hut_forces(
+            s.pos, s.mass, mesh, return_overflow=True, **kw
+        )
+        want = barnes_hut_forces(s.pos, s.mass, **kw)
+        assert int(overflow) == 0
+        scale = float(jnp.max(jnp.abs(want)))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4 * scale
+        )
+
+    def test_sharded_hash_matches_single(self, mesh, key):
+        from nbody_tpu.ops.spatial_hash import spatial_hash_forces
+        from nbody_tpu.parallel.tree import sharded_spatial_hash_forces
+
+        s = init_spherical(key, 512, SphericalDistParams(radius=4.0))
+        got, overflow = sharded_spatial_hash_forces(
+            s.pos, s.mass, mesh, G=1.0, softening=0.1, cutoff=1.5,
+            cell_size=1.5, cap=8, max_per_cell=16, return_overflow=True,
+        )
+        want = spatial_hash_forces(
+            s.pos, s.mass, G=1.0, softening=0.1, cutoff=1.5,
+            cell_size=1.5, cap=8, window=512,
+        )
+        assert int(overflow) == 0
+        scale = float(jnp.max(jnp.abs(want)))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4 * scale
+        )
+
+    def test_routing_overflow_counted(self, mesh, key):
+        """Slab-routing capacity overflow is psum-counted, never silent
+        (docs/specs/sharding.md: Routing overflow is surfaced)."""
+        from nbody_tpu.parallel.tree import sharded_spatial_hash_forces
+
+        s = init_spherical(key, 512, SphericalDistParams(radius=4.0))
+        _, overflow = sharded_spatial_hash_forces(
+            s.pos, s.mass, mesh, G=1.0, softening=0.1, cutoff=1.5,
+            cell_size=1.5, cap=8, max_per_cell=16, capacity=4,
+            return_overflow=True,
+        )
+        # 512 particles over 8 slabs with per-destination capacity 4·8=32
+        # rows cannot hold a radius-4 sphere's central slabs.
+        assert int(overflow) > 0

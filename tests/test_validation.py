@@ -109,3 +109,45 @@ class TestConfig:
         assert ForceMethod.parse("spatial-hash") == ForceMethod.SPATIAL_HASH
         with pytest.raises(ValidationError):
             ForceMethod.parse("magic")
+
+
+def test_memory_precheck(monkeypatch):
+    """80%-HBM pre-check (docs/specs/quality-attributes.md): a config whose
+    state exceeds 80% of device memory is rejected with the estimated vs
+    available byte counts; within-budget configs pass."""
+    import jax
+
+    from nbody_tpu.errors import (
+        ResourceError,
+        STATE_BYTES_PER_PARTICLE,
+        validate_resource_requirements,
+    )
+
+    class FakeDev:
+        def __init__(self, limit):
+            self._limit = limit
+
+        def memory_stats(self):
+            return {"bytes_limit": self._limit}
+
+    # 1M particles need 40 B × 2 = 80 MB; give the device only 50 MB.
+    monkeypatch.setattr(
+        jax, "local_devices", lambda: [FakeDev(50 * 1024 * 1024)]
+    )
+    with pytest.raises(ResourceError) as ei:
+        validate_resource_requirements(1_000_000)
+    assert str(1_000_000 * STATE_BYTES_PER_PARTICLE * 2) in str(ei.value)
+
+    # plenty of memory -> passes
+    monkeypatch.setattr(
+        jax, "local_devices", lambda: [FakeDev(8 * 1024**3)]
+    )
+    validate_resource_requirements(1_000_000)
+
+    # backends without memory stats (CPU) silently pass
+    class NoStats:
+        def memory_stats(self):
+            return None
+
+    monkeypatch.setattr(jax, "local_devices", lambda: [NoStats()])
+    validate_resource_requirements(100_000_000)
