@@ -57,7 +57,13 @@ def _near_kernel(tiles_hbm, acc_ref, *, k, d, ws, zp, l, p2, lpad, eps,
         ty = slab[ws, 1, :, p2:p2 + l]
         tz = slab[ws, 2, :, p2:p2 + l]
 
-        acc = jnp.zeros((3, k, l), jnp.float32)
+        # Mosaic-friendly shape discipline: every op below is a 2D
+        # (K_s sublanes, L lanes) block — the native vreg tiling. A 3D
+        # (K_t, K_s, L) broadcast formulation compiled >30 min server-side
+        # (register-allocating the K_t×K_s cross product); this unrolled
+        # K_t loop emits ~w1³·k small 2D blocks instead and the source
+        # slices (per offset) are reused across all k target rows.
+        accs = [jnp.zeros((3, l), jnp.float32) for _ in range(k)]
         for xo in range(w1):
             for yo in range(-ws, ws + 1):
                 for zo in range(-ws, ws + 1):
@@ -66,21 +72,23 @@ def _near_kernel(tiles_hbm, acc_ref, *, k, d, ws, zp, l, p2, lpad, eps,
                     sy = slab[xo, 1, :, off:off + l]
                     sz = slab[xo, 2, :, off:off + l]
                     sm = slab[xo, 3, :, off:off + l]
-                    dx = sx[None] - tx[:, None]        # (K_t, K_s, L)
-                    dy = sy[None] - ty[:, None]
-                    dz = sz[None] - tz[:, None]
-                    r2 = dx * dx + dy * dy + dz * dz
-                    inv = jax.lax.rsqrt(r2 + eps2)
-                    w = sm[None] * (inv * inv * inv)
-                    if zero_guard:
-                        w = jnp.where(r2 == 0.0, 0.0, w)
-                    acc = acc + jnp.stack(
-                        [
-                            jnp.sum(w * dx, axis=1),
-                            jnp.sum(w * dy, axis=1),
-                            jnp.sum(w * dz, axis=1),
-                        ]
-                    )
+                    for kt in range(k):
+                        dx = sx - tx[kt][None]         # (K_s, L)
+                        dy = sy - ty[kt][None]
+                        dz = sz - tz[kt][None]
+                        r2 = dx * dx + dy * dy + dz * dz
+                        inv = jax.lax.rsqrt(r2 + eps2)
+                        w = sm * (inv * inv * inv)
+                        if zero_guard:
+                            w = jnp.where(r2 == 0.0, 0.0, w)
+                        accs[kt] = accs[kt] + jnp.stack(
+                            [
+                                jnp.sum(w * dx, axis=0),
+                                jnp.sum(w * dy, axis=0),
+                                jnp.sum(w * dz, axis=0),
+                            ]
+                        )
+        acc = jnp.stack(accs, axis=1)  # (3, K, L)
         acc_ref[0] = jnp.zeros((3, k, lpad), jnp.float32)
         acc_ref[0, :, :, p2:p2 + l] = acc
 

@@ -7,8 +7,9 @@ devices, collectives ride ICI via shard_map —
   * ring-rotated j-blocks for the all-pairs force (`ring.py`), the
     N-body analogue of ring attention;
   * psum energy reductions (replacing block-reduce + host sum);
-  * pyramid grids built locally and psum-combined for Barnes-Hut
-    (`tree.py`) — the multipole grids are small relative to particles, so
+  * pyramid grids built locally and psum-combined for Barnes-Hut, plus
+    slab-routed near fields with chained-ppermute halos (`tree.py`) —
+    the multipole grids are small relative to particles, so
     replicate-by-reduction is the bandwidth-optimal layout;
   * jax.distributed initialization helpers for multi-host (`distributed.py`).
 """
@@ -20,6 +21,10 @@ from nbody_tpu.parallel.mesh import (
 )
 from nbody_tpu.parallel.ring import ring_direct_forces
 from nbody_tpu.parallel.step import make_sharded_step, sharded_energy
+from nbody_tpu.parallel.tree import (
+    sharded_barnes_hut_forces,
+    sharded_spatial_hash_forces,
+)
 
 __all__ = [
     "make_mesh",
@@ -28,4 +33,6 @@ __all__ = [
     "ring_direct_forces",
     "make_sharded_step",
     "sharded_energy",
+    "sharded_barnes_hut_forces",
+    "sharded_spatial_hash_forces",
 ]

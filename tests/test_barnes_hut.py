@@ -67,7 +67,7 @@ def test_accuracy_vs_direct(key):
     """BH (θ=0.5) median relative force error well under 5%."""
     s = init_spherical(key, 800, SphericalDistParams(radius=5.0))
     ref = direct_forces_reference(s.pos, s.mass, 1.0, 0.1)
-    got = barnes_hut_forces(s.pos, s.mass, 1.0, 0.1, 0.5, levels=5)
+    got = barnes_hut_forces(s.pos, s.mass, 1.0, 0.1, 0.5, levels=4)
     assert rel_error(got, ref) < 0.05
 
 
@@ -76,10 +76,10 @@ def test_theta_convergence(key):
     s = init_spherical(key, 600, SphericalDistParams(radius=5.0))
     ref = direct_forces_reference(s.pos, s.mass, 1.0, 0.1)
     e_tight = rel_error(
-        barnes_hut_forces(s.pos, s.mass, 1.0, 0.1, 0.3, levels=5), ref
+        barnes_hut_forces(s.pos, s.mass, 1.0, 0.1, 0.3, levels=4), ref
     )
     e_loose = rel_error(
-        barnes_hut_forces(s.pos, s.mass, 1.0, 0.1, 0.8, levels=5), ref
+        barnes_hut_forces(s.pos, s.mass, 1.0, 0.1, 0.8, levels=4), ref
     )
     assert e_tight <= e_loose * 1.1
 
@@ -100,7 +100,7 @@ def test_small_theta_matches_direct(key):
 
 def test_momentum_conservation(key):
     s = init_disk(key, 500, DiskDistParams(radius=5.0))
-    acc = barnes_hut_forces(s.pos, s.mass, 1.0, 0.1, 0.5, levels=5)
+    acc = barnes_hut_forces(s.pos, s.mass, 1.0, 0.1, 0.5, levels=4)
     net = np.asarray(jnp.sum(s.mass[:, None] * acc, axis=0))
     total = np.abs(np.asarray(s.mass[:, None] * acc)).sum(axis=0)
     # near field is exactly antisymmetric; far field approximately
@@ -122,7 +122,7 @@ def test_two_clusters_attract(key):
     b = init_spherical(k2, 200, SphericalDistParams(center=(8.0, 0, 0), radius=1.0))
     pos = jnp.concatenate([a.pos, b.pos])
     mass = jnp.concatenate([a.mass, b.mass])
-    acc = np.asarray(barnes_hut_forces(pos, mass, 1.0, 0.1, 0.5, levels=5))
+    acc = np.asarray(barnes_hut_forces(pos, mass, 1.0, 0.1, 0.5, levels=4))
     assert acc[:200, 0].mean() > 0  # left cluster pulled right
     assert acc[200:, 0].mean() < 0
     # magnitude ≈ G·M/(d²) within 20%

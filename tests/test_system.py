@@ -18,7 +18,14 @@ from nbody_tpu import (
 @pytest.fixture
 def small_system():
     sys_ = ParticleSystem()
-    sys_.initialize(SimulationConfig(particle_count=200, seed=7))
+    # Small grids: the default bh_max_level=6 (64³ pyramid) costs ~3 min
+    # of CPU compile per method-switch; resolution is irrelevant to the
+    # facade semantics under test.
+    sys_.initialize(
+        SimulationConfig(
+            particle_count=200, seed=7, bh_max_level=3, hash_max_grid_dim=16
+        )
+    )
     return sys_
 
 
