@@ -8,8 +8,9 @@ Baseline: the reference (LessUp/n-body) runs 1M-particle Barnes-Hut at
 is a lax.scan of full Verlet steps inside ONE device program, matching the
 reference's one-update-per-frame semantics (src/main.cpp:184-192).
 
-Env knobs: NBODY_BENCH_SMALL=1 → 100K particles quick smoke;
-NBODY_BENCH_METHOD ∈ {barnes-hut, spatial-hash, direct-n2}.
+Env knobs: NBODY_BENCH_SMALL=1 → 100K-particle quick smoke;
+NBODY_BENCH_METHOD ∈ {barnes-hut, spatial-hash, direct-n2};
+NBODY_BENCH_N overrides the particle count.
 """
 
 import json
@@ -27,15 +28,16 @@ def main():
     from nbody_tpu.ops.integrator import initialize_forces, make_multi_step
     from nbody_tpu.types import ForceMethod, SimulationConfig, SphericalDistParams
 
-    # Headline: 100K-particle Direct N² (a row of the reference's own FPS
-    # table, BASELINE.md) — the config where the TPU build currently beats
-    # the RTX 3080 reference. The full measured matrix for every method/N
-    # lives in BENCHMARKS.md; override via env to reproduce any cell.
+    # Headline: the NORTH-STAR config — 1M-particle Barnes-Hut (the
+    # reference's flagship benchmark, BASELINE.md: 25 FPS on RTX 3080).
+    # Honest regression tracking: this is the hardest cell, not the most
+    # flattering one. The full measured matrix for every method/N lives
+    # in BENCHMARKS.md; override via env to reproduce any cell.
     small = os.environ.get("NBODY_BENCH_SMALL") == "1"
     method = ForceMethod.parse(
-        os.environ.get("NBODY_BENCH_METHOD", "direct-n2")
+        os.environ.get("NBODY_BENCH_METHOD", "barnes-hut")
     )
-    default_n = 10_000 if small else 100_000
+    default_n = 100_000 if small else 1_000_000
     n = int(os.environ.get("NBODY_BENCH_N", default_n))
     baseline = {  # reference steps/s on RTX 3080 (BASELINE.md)
         (ForceMethod.BARNES_HUT, 1_000_000): 25.0,

@@ -1,0 +1,106 @@
+"""North-star fidelity measurement: |ΔE/E| over 10k steps of 1M-particle
+Barnes-Hut on one TPU chip (BASELINE.md target: < 1e-4; spec:
+docs/specs/quality-attributes.md "North-star measurement").
+
+Potential energy uses the 'kahan' compensated accumulator
+(ops/integrator.py): the 5×10¹¹ one-signed pair terms at 1M would
+otherwise accumulate f32 rounding of the same order as the drift target.
+
+Usage: python scripts/measure_drift.py [N] [STEPS] [CHUNK]
+Writes one JSON line per checkpoint so a killed run still yields data.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
+CHUNK = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000
+
+
+def main():
+    from nbody_tpu.models.distributions import init_spherical
+    from nbody_tpu.ops.forces import make_force_fn
+    from nbody_tpu.ops.integrator import (
+        initialize_forces,
+        kinetic_energy,
+        make_multi_step,
+        potential_energy,
+    )
+    from nbody_tpu.types import (
+        ForceMethod,
+        SimulationConfig,
+        SphericalDistParams,
+    )
+
+    config = SimulationConfig(
+        particle_count=N,
+        force_method=ForceMethod.BARNES_HUT,
+        bh_max_level=6 if N > 300_000 else 5,
+        dt=1e-3,
+    )
+    force_fn = make_force_fn(config)
+    state = init_spherical(
+        jax.random.PRNGKey(42), N, SphericalDistParams(radius=10.0)
+    )
+    state = jax.jit(lambda s: initialize_forces(s, force_fn))(state)
+
+    @jax.jit
+    def energy(s):
+        return kinetic_energy(s) + potential_energy(
+            s.pos, s.mass, config.G, config.softening, accumulate="kahan"
+        )
+
+    t0 = time.time()
+    e0 = float(energy(state))
+    print(
+        json.dumps(
+            {"step": 0, "E": e0, "rel_drift": 0.0,
+             "pe_secs": round(time.time() - t0, 1)}
+        ),
+        flush=True,
+    )
+
+    multi = jax.jit(make_multi_step(force_fn, config.dt, CHUNK))
+    done = 0
+    while done < STEPS:
+        t0 = time.time()
+        state = multi(state)
+        e = float(energy(state))  # real D2H readback closes the bracket
+        done += CHUNK
+        drift = abs((e - e0) / e0)
+        print(
+            json.dumps(
+                {
+                    "step": done,
+                    "E": e,
+                    "rel_drift": drift,
+                    "steps_per_sec": round(
+                        CHUNK / (time.time() - t0), 2
+                    ),  # includes one kahan PE eval
+                }
+            ),
+            flush=True,
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": f"abs_rel_energy_drift_{N // 1000}k_bh_{STEPS}steps",
+                "value": drift,
+                "target": 1e-4,
+                "pass": bool(drift < 1e-4),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
