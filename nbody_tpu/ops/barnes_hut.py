@@ -742,6 +742,7 @@ def _near_field(
         pair_weight=pair_weight,
         window=window,
         block_size=block_size,
+        eps=eps,
     )
     return G * acc, overflow, coords
 

@@ -3,22 +3,29 @@
 Drop-in accelerator for the hot loop of nbody_tpu/ops/tile_sweep.py — the
 exact near-field pair sum of the Barnes-Hut pipeline (the analogue of the
 reference's traversal near-misses, force_barnes_hut.cu:130-201). The XLA
-formulation streams every (K, cells) intermediate through HBM and runs at
-~0.2 T elementwise-ops/s (measured 210 ms at 1M/L6/k16); this kernel keeps
-one x-slab of the tile grid in VMEM and sweeps all (2ws+1)³ neighbor
-offsets with STATIC lane shifts.
+formulation streams every (K, cells) intermediate through HBM (measured
+210 ms at 1M/L6/k16); this kernel keeps the working set in VMEM and sweeps
+all (2ws+1)³ neighbor offsets with STATIC lane shifts.
 
-v3 layout (two earlier versions died on Mosaic's dynamic-sublane loads):
+v4 layout — each earlier version taught a Mosaic constraint the hard way:
+  v1/v2: dynamic sublane/lane offsets → rejected or catastrophically slow.
+  v3: x-plane programs with the full flattened (y, z) plane on lanes
+      (4608 lanes = 36 vregs/operand) → the register allocator spilled
+      295 MB; and a 3D (K_t, K_s, L) broadcast formulation before that
+      compiled > 30 min server-side.
 
-  * tiles rearranged to (X + 2ws, 4, K, Lp): x-planes lead (DMA'd with a
-    dynamic LEADING index — the one dynamic offset Mosaic likes), channels
-    (x,y,z,m) next, slot axis K on sublanes, and the (y, z) plane FLATTENED
-    onto lanes with halo pads, so that the neighbor offset (dy, dz) is a
-    STATIC lane shift of dy·Zp + dz.
-  * one program per x-plane: DMA the (2ws+1)-plane slab, then for each of
-    the (2ws+1)³ offsets evaluate all K_t × K_s slot pairs as ONE
-    broadcasted (K, K, L) VPU block — empty slots carry mass 0 and sit at
-    their cell center, so they are inert.
+  * tiles rearranged to (X + 2ws, 4, K, Lp): x-planes lead, channels
+    (x,y,z,m) next, slot axis K on sublanes, and the (y, z) plane
+    FLATTENED onto lanes with halo pads so a neighbor offset (dy, dz) is
+    a STATIC lane shift of dy·Zp + dz.
+  * 2D grid (x-plane, lane-chunk): each program DMAs a (2ws+1, 4, K,
+    C + 2M) slab window — C target lanes plus M = round_up(ws·Zp+ws, 128)
+    shift margin per side (the lane axis is M-padded so every window is
+    in bounds and 128-aligned) — and evaluates all (2ws+1)³ offsets ×
+    K_t target rows as 2D (K_s, C) VPU blocks, the native vreg tiling.
+    Narrow operands (C=512 → 4 vregs) keep register pressure low.
+  * empty slots carry mass 0 at their cell center and are inert;
+    coincident/self pairs need masking only at ε = 0.
 """
 
 from __future__ import annotations
@@ -35,45 +42,45 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _near_kernel(tiles_hbm, acc_ref, *, k, d, ws, zp, l, p2, lpad, eps,
-                 zero_guard):
-    """One x-plane program.
+def _near_kernel(tiles_hbm, acc_ref, *, k, ws, zp, c, m, eps, zero_guard):
+    """One (x-plane, lane-chunk) program.
 
     tiles_hbm: (D+2ws, 4, K, Lp) ANY — x-padded planes, lanes = flattened
-               padded (y, z) with an extra ±P2 shift margin
-    acc_ref:   (1, 3, K, Lp) VMEM — this plane's per-slot accelerations
+               padded (y, z) with an M-lane margin at both ends
+    acc_ref:   (1, 3, K, C) VMEM — this chunk's per-slot accelerations
     """
     w1 = 2 * ws + 1
     eps2 = eps * eps
     i = pl.program_id(0)
+    j = pl.program_id(1)
 
     def inner(slab, sem):
-        cp = pltpu.make_async_copy(tiles_hbm.at[pl.ds(i, w1)], slab, sem)
+        cp = pltpu.make_async_copy(
+            tiles_hbm.at[pl.ds(i, w1), :, :, pl.ds(j * c, c + 2 * m)],
+            slab,
+            sem,
+        )
         cp.start()
         cp.wait()
 
         # Target rows: central x-plane, unshifted lanes.
-        tx = slab[ws, 0, :, p2:p2 + l]          # (K, L)
-        ty = slab[ws, 1, :, p2:p2 + l]
-        tz = slab[ws, 2, :, p2:p2 + l]
+        tx = slab[ws, 0, :, m:m + c]            # (K, C)
+        ty = slab[ws, 1, :, m:m + c]
+        tz = slab[ws, 2, :, m:m + c]
 
-        # Mosaic-friendly shape discipline: every op below is a 2D
-        # (K_s sublanes, L lanes) block — the native vreg tiling. A 3D
-        # (K_t, K_s, L) broadcast formulation compiled >30 min server-side
-        # (register-allocating the K_t×K_s cross product); this unrolled
-        # K_t loop emits ~w1³·k small 2D blocks instead and the source
-        # slices (per offset) are reused across all k target rows.
-        accs = [jnp.zeros((3, l), jnp.float32) for _ in range(k)]
+        # Every op below is a 2D (K_s sublanes, C lanes) block — the
+        # native vreg tiling; source slices are reused across all K_t.
+        accs = [jnp.zeros((3, c), jnp.float32) for _ in range(k)]
         for xo in range(w1):
             for yo in range(-ws, ws + 1):
                 for zo in range(-ws, ws + 1):
-                    off = p2 + yo * zp + zo
-                    sx = slab[xo, 0, :, off:off + l]   # (K_s, L)
-                    sy = slab[xo, 1, :, off:off + l]
-                    sz = slab[xo, 2, :, off:off + l]
-                    sm = slab[xo, 3, :, off:off + l]
+                    off = m + yo * zp + zo
+                    sx = slab[xo, 0, :, off:off + c]   # (K_s, C)
+                    sy = slab[xo, 1, :, off:off + c]
+                    sz = slab[xo, 2, :, off:off + c]
+                    sm = slab[xo, 3, :, off:off + c]
                     for kt in range(k):
-                        dx = sx - tx[kt][None]         # (K_s, L)
+                        dx = sx - tx[kt][None]         # (K_s, C)
                         dy = sy - ty[kt][None]
                         dz = sz - tz[kt][None]
                         r2 = dx * dx + dy * dy + dz * dz
@@ -88,20 +95,17 @@ def _near_kernel(tiles_hbm, acc_ref, *, k, d, ws, zp, l, p2, lpad, eps,
                                 jnp.sum(w * dz, axis=0),
                             ]
                         )
-        acc = jnp.stack(accs, axis=1)  # (3, K, L)
-        acc_ref[0] = jnp.zeros((3, k, lpad), jnp.float32)
-        acc_ref[0, :, :, p2:p2 + l] = acc
+        acc_ref[0] = jnp.stack(accs, axis=1)  # (3, K, C)
 
-    w1 = 2 * ws + 1
     pl.run_scoped(
         inner,
-        slab=pltpu.VMEM((w1, 4, k, lpad), jnp.float32),
+        slab=pltpu.VMEM((w1, 4, k, c + 2 * m), jnp.float32),
         sem=pltpu.SemaphoreType.DMA(()),
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "d", "ws", "eps", "interpret")
+    jax.jit, static_argnames=("k", "d", "ws", "eps", "chunk", "interpret")
 )
 def tile_sweep_pallas(
     tiles_t: jax.Array,
@@ -110,6 +114,7 @@ def tile_sweep_pallas(
     d: int,
     ws: int,
     eps: float,
+    chunk: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
     """(K, 4, D, D, D) slot tensor → (K, 3, D, D, D) per-slot accelerations.
@@ -122,7 +127,10 @@ def tile_sweep_pallas(
     zp = d + 2 * ws
     l = yp * zp
     p2 = ws * zp + ws  # max |lane shift| for any (dy, dz) offset
-    lpad = _round_up(l + 2 * p2, 128)
+    c = chunk
+    m = _round_up(p2, 128)
+    nc = -(-l // c)
+    lpad = m + nc * c + m
 
     # (K, 4, D, D, D) → (x, ch, slot, y, z) → (D+2ws, 4, K, Lp)
     t = tiles_t.transpose(2, 1, 0, 3, 4)  # (D_x, 4, K, D_y, D_z)
@@ -130,32 +138,34 @@ def tile_sweep_pallas(
         t, [(ws, ws), (0, 0), (0, 0), (ws, ws), (ws, ws)]
     )  # (D+2ws, 4, K, Yp, Zp)
     t = t.reshape(d + 2 * ws, 4, k, l)
-    t = jnp.pad(t, [(0, 0), (0, 0), (0, 0), (p2, lpad - l - 2 * p2 + p2)])
+    t = jnp.pad(t, [(0, 0), (0, 0), (0, 0), (m, lpad - l - 2 * m + m)])
 
     zero_guard = eps == 0.0
     out = pl.pallas_call(
         functools.partial(
-            _near_kernel, k=k, d=d, ws=ws, zp=zp, l=l, p2=p2, lpad=lpad,
-            eps=float(eps), zero_guard=zero_guard,
+            _near_kernel, k=k, ws=ws, zp=zp, c=c, m=m, eps=float(eps),
+            zero_guard=zero_guard,
         ),
-        grid=(d,),
+        grid=(d, nc),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (1, 3, k, lpad), lambda i: (i, 0, 0, 0),
+            (1, 3, k, c), lambda i, j: (i, 0, 0, j),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((d, 3, k, lpad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((d, 3, k, nc * c), jnp.float32),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=int(w1**3) * k * k * d * l * 12,
-            bytes_accessed=int(d) * (w1 * 4 * k * lpad + 3 * k * lpad) * 4,
-            transcendentals=int(w1**3) * k * k * d * l,
+            flops=int(w1**3) * k * k * d * nc * c * 12,
+            bytes_accessed=int(d) * nc * (w1 * 4 * k * (c + 2 * m)
+                                          + 3 * k * c) * 4,
+            transcendentals=int(w1**3) * k * k * d * nc * c,
         ),
         interpret=interpret,
     )(t)
-    # (D, 3, K, Lp) → (K, 3, D, D, D): strip the shift margin + halo pads.
-    out = out[:, :, :, p2:p2 + l].reshape(d, 3, k, yp, zp)
+    # (D, 3, K, NC·C) → (K, 3, D, D, D): strip chunk padding + halo pads.
+    out = out[:, :, :, :l].reshape(d, 3, k, yp, zp)
     out = out[:, :, :, ws:ws + d, ws:ws + d]
     return out.transpose(2, 1, 0, 3, 4)

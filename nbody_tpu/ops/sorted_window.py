@@ -89,6 +89,8 @@ def window_sweep(
     pair_weight: Callable[[jax.Array, jax.Array], jax.Array],
     window: int = 1024,
     block_size: int = 256,
+    eps: float | None = None,
+    cutoff2: float | None = None,
 ):
     """Σ_j w(r²_raw, m_j)·(x_j − x_i) over the neighbor windows.
 
@@ -96,9 +98,41 @@ def window_sweep(
     overflow count). ``pair_weight(r2_raw, m_j)`` runs on (B, W) tiles;
     self/coincident pairs (r2_raw == 0) are masked by the engine.
 
+    When ``eps`` is given (with ``cutoff2`` for the hash predicate) the
+    TPU path runs the VMEM-resident Pallas kernel
+    (ops/pallas_window_sweep.py) — same windows, same validity predicate;
+    ``pair_weight`` is only used by the XLA fallback. NBODY_PALLAS_WINDOW=0
+    opts out for A/B profiling.
+
     Not jitted itself — callers trace it inside their own jitted force
     function (all arguments after ``grid`` must be Python constants there).
     """
+    import os
+
+    if (
+        eps is not None
+        and jax.default_backend() == "tpu"
+        and os.environ.get("NBODY_PALLAS_WINDOW") != "0"
+    ):
+        from nbody_tpu.ops.pallas_window_sweep import window_sweep_pallas
+
+        win_starts, overflow = _window_starts(
+            grid, d=d, xy_offsets=xy_offsets, z_halfwidth=z_halfwidth,
+            window=window, block_size=block_size,
+        )
+        acc_sorted = window_sweep_pallas(
+            grid.psort, grid.csort, win_starts,
+            offsets=tuple(xy_offsets), block_size=block_size,
+            window=window, z_hw=z_halfwidth, eps=eps, cut2=cutoff2,
+        )
+        n = grid.psort.shape[0]
+        acc = (
+            jnp.zeros((n, 3), acc_sorted.dtype)
+            .at[grid.order]
+            .set(acc_sorted[:n])
+        )
+        return acc, overflow
+
     n = grid.psort.shape[0]
     num_cells = d * d * d
     b = min(block_size, max(n, 1))
@@ -168,6 +202,66 @@ def window_sweep(
     acc_sorted = acc_blocks.reshape(n_pad, 3)[:n]
     acc = jnp.zeros((n, 3), acc_sorted.dtype).at[grid.order].set(acc_sorted)
     return acc, jnp.sum(over_blocks)
+
+
+def _window_starts(
+    grid: SortedGrid,
+    *,
+    d: int,
+    xy_offsets: Sequence[Tuple[int, int]],
+    z_halfwidth: int,
+    window: int,
+    block_size: int,
+):
+    """Vectorized per-(block, offset) window starts for the Pallas sweep.
+
+    Same cell_start lookups as the XLA path's ``one_block``, but computed
+    for all blocks at once, with each start aligned DOWN to a 128-lane
+    boundary (the kernel DMAs ``window + 128`` rows, so alignment never
+    loses coverage). Overflow counts rows a window could NOT cover —
+    identical never-double-count semantics.
+    """
+    n = grid.psort.shape[0]
+    num_cells = d * d * d
+    b = min(block_size, max(n, 1))
+    n_pad = -(-n // b) * b
+    hw = z_halfwidth
+    wbuf = window + 128
+
+    tcrd = jnp.pad(
+        grid.csort, ((0, n_pad - n), (0, 0)), constant_values=-(20 * d)
+    ).reshape(n_pad // b, b, 3)
+    nb = n_pad // b
+    first = tcrd[:, 0]  # (nb, 3)
+    valid = tcrd[:, :, 0] > -(15 * d)
+    last_idx = jnp.argmax(
+        jnp.where(valid, jnp.arange(b)[None, :], -1), axis=1
+    )
+    last = tcrd[jnp.arange(nb), last_idx]  # (nb, 3)
+
+    starts = []
+    over = jnp.zeros((), jnp.int32)
+    for dx, dy in xy_offsets:
+        base0 = jnp.clip(
+            ((first[:, 0] + dx) * d + first[:, 1] + dy) * d
+            + jnp.maximum(first[:, 2] - hw, 0),
+            0,
+            num_cells,
+        )
+        base1 = jnp.clip(
+            ((last[:, 0] + dx) * d + last[:, 1] + dy) * d
+            + jnp.minimum(last[:, 2] + hw, d - 1) + 1,
+            0,
+            num_cells,
+        )
+        win_start = grid.cell_start[base0]
+        needed_end = grid.cell_start[base1]
+        aligned = (win_start // 128) * 128
+        over = over + jnp.sum(
+            jnp.maximum(needed_end - aligned - wbuf, 0)
+        ).astype(jnp.int32)
+        starts.append(aligned)
+    return jnp.stack(starts, axis=1).astype(jnp.int32), over
 
 
 def xy_ball(ws: int) -> Tuple[Tuple[int, int], ...]:

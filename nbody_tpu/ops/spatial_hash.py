@@ -184,6 +184,8 @@ def spatial_hash_forces(
         pair_weight=pair_weight,
         window=window,
         block_size=block_size,
+        eps=softening,
+        cutoff2=cut2,
     )
     if return_overflow:
         return G * acc, overflow

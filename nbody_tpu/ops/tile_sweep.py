@@ -92,11 +92,12 @@ def tile_near_field(
 
     if (
         jax.default_backend() == "tpu"
-        and os.environ.get("NBODY_PALLAS_NEAR") == "1"
+        and os.environ.get("NBODY_PALLAS_NEAR") != "0"
     ):
-        # Experimental VMEM-resident Pallas sweep (opt-in: current Mosaic
-        # lowering of the dynamic sublane loads underperforms the fused
-        # XLA path — see docs/performance.md).
+        # VMEM-resident Pallas sweep — the default on TPU: 24.9 ms at
+        # 1M/L6/k16 vs 210 ms for the fused-XLA path below (which streams
+        # every (K, cells) intermediate through HBM). NBODY_PALLAS_NEAR=0
+        # opts out for A/B profiling.
         from nbody_tpu.ops.pallas_tile_near import tile_sweep_pallas
 
         acc_slots = tile_sweep_pallas(tiles_t, k=k, d=d, ws=ws, eps=eps)
