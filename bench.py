@@ -59,9 +59,28 @@ def main():
     )
     force_fn = make_force_fn(config)
 
-    state = init_spherical(
-        jax.random.PRNGKey(42), n, SphericalDistParams(radius=10.0)
-    )
+    # NBODY_BENCH_SCENE=sparse → uniform cube at ~1 particle/unit³ (the
+    # density regime where the reference's published 1M-hash 60 FPS is
+    # physically reachable on its own hardware — BENCHMARKS.md "density
+    # note"); default = the reference app's dense spherical scene.
+    scene = os.environ.get("NBODY_BENCH_SCENE", "dense")
+    if scene == "sparse":
+        from nbody_tpu.models.distributions import init_uniform
+        from nbody_tpu.types import UniformDistParams
+
+        half = max(10.0, float(n) ** (1.0 / 3.0)) / 2.0
+        state = init_uniform(
+            jax.random.PRNGKey(42),
+            n,
+            UniformDistParams(
+                min_bounds=(-half, -half, -half),
+                max_bounds=(half, half, half),
+            ),
+        )
+    else:
+        state = init_spherical(
+            jax.random.PRNGKey(42), n, SphericalDistParams(radius=10.0)
+        )
     state = jax.jit(lambda s: initialize_forces(s, force_fn))(state)
     state.block_until_ready()
 

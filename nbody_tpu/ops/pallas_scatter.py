@@ -1,0 +1,195 @@
+"""Monotone row scatter on the MXU — builds the dense (cell, slot) tiles.
+
+``init.at[flat].set(psort)`` with 1M rows costs ~50 ms on TPU: XLA
+lowers scatters to descriptor-serialized row writes (~20 M rows/s),
+20× slower than gathers (scripts/profile_build.py). But this scatter is
+special: the destinations are STRICTLY INCREASING along the (cell-sorted)
+input. So each contiguous chunk of output rows draws from ONE contiguous
+window of input rows — and "place row r at dest d" becomes a ONE-HOT
+matrix multiply, which is what the MXU is for:
+
+    placed(ch, R) = src_window(ch, W) ·contract-W· onehot(R, W),
+    onehot[r, w] = (src_dest[w] == chunk_row0 + r)
+
+Exactness: with ``precision=HIGHEST`` XLA decomposes each f32 operand
+into three bf16 terms whose sum is exactly the f32 value (3 × 8-bit
+mantissas ≥ 24 bits), one-hot entries are exactly representable, and
+each dest row matches at most one source row — the result is bit-exact
+row placement, not an approximation.
+
+Layout choices (each shaped by a measured Mosaic constraint —
+scripts in /tmp probed them on hardware):
+  * sources are channel-major (8, rows): a window is then a LANE slice,
+    whose dynamic start must be PROVABLY 128-aligned — so the scalar
+    prefetch carries ``start // 128`` and the kernel multiplies back;
+    (row-major (rows, 8) DMAs are rejected outright: trailing dims must
+    be 128-aligned);
+  * the dest id rides as channel 4 (ids < 2²⁴ are exact in f32) and
+    channel 5 carries the constant 1 — after the one-hot matmul,
+    channel 5 IS the coverage mask, for free, in the right layout;
+  * the one-hot pairs a SUBLANE dest iota (R, 1) with the LANE source
+    keys (1, W): no transposes anywhere in the kernel;
+  * output is channel-major (8, d³·k) in (8, R) lane-aligned blocks,
+    matching the sweep kernel's channel-major tile layout.
+
+Unmatched dest rows get the filler: their cell center with mass 0 (the
+inert-slot convention of ops/tile_sweep.py), computed in-kernel from the
+dest row index. Source rows whose dest was set to the overflow sentinel
+never match; rows beyond a chunk's window can only be MISSED (never
+misplaced) and the caller counts window misses in its overflow audit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SENTINEL = float(1 << 25)  # exact in f32; > any real dest id (< 2^24)
+
+
+def _kernel(
+    starts_ref,   # (n_chunks,) i32 scalar-prefetch: window starts // 128
+    geom_ref,     # (1, 128) f32 VMEM: [lo_x, lo_y, lo_z, cell, ...]
+    src_hbm,      # (8, cols_pad) f32 ANY: channels x,y,z,m,dest,1,0,0
+    out_ref,      # (8, R) f32 VMEM block
+    *,
+    r: int,
+    w: int,
+    k: int,
+    d: int,
+):
+    c = pl.program_id(0)
+
+    def inner(win, sem):
+        s128 = starts_ref[c]
+        cp = pltpu.make_async_copy(
+            src_hbm.at[:, pl.ds(s128 * 128, w)], win, sem
+        )
+        cp.start()
+        cp.wait()
+
+        row0 = c * r
+        win_v = win[...]                                     # (8, W)
+        keys = win_v[4:5]                                    # (1, W)
+        iota_sub = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+        dest_rows_f = (iota_sub + row0).astype(jnp.float32)  # (R, 1)
+        onehot = (dest_rows_f == keys).astype(jnp.float32)   # (R, W)
+
+        placed = jax.lax.dot_general(
+            win_v,
+            onehot,
+            (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (8, R) — bit-exact row placement (module docstring)
+        covered = placed[5:6]                                # (1, R)
+
+        # Filler: cell centers, mass 0. cell = dest_row // k (constant
+        # divisor); d is a power of two -> shift/mask 3-D decode.
+        dest_lanes = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1) + row0
+        cell = dest_lanes // k
+        dbits = d.bit_length() - 1
+        cz = cell & (d - 1)
+        cy = (cell >> dbits) & (d - 1)
+        cx = cell >> (2 * dbits)
+        lo_x = geom_ref[0, 0]
+        lo_y = geom_ref[0, 1]
+        lo_z = geom_ref[0, 2]
+        cw = geom_ref[0, 3]
+        fx = lo_x + (cx.astype(jnp.float32) + 0.5) * cw
+        fy = lo_y + (cy.astype(jnp.float32) + 0.5) * cw
+        fz = lo_z + (cz.astype(jnp.float32) + 0.5) * cw
+
+        miss = 1.0 - covered
+        out_ref[0:1] = placed[0:1] + miss * fx
+        out_ref[1:2] = placed[1:2] + miss * fy
+        out_ref[2:3] = placed[2:3] + miss * fz
+        out_ref[3:8] = placed[3:8]  # mass + aux channels: filler is 0
+
+    pl.run_scoped(
+        inner,
+        win=pltpu.VMEM((8, w), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA(()),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "d", "r", "w", "interpret")
+)
+def monotone_scatter_tiles(
+    psort: jax.Array,       # (N, 4) cell-sorted rows x,y,z,m
+    dest: jax.Array,        # (N,) i32 increasing; overflow rows >= 2^24
+    src_starts: jax.Array,  # (n_chunks,) i32 source window starts
+    lo: jax.Array,          # (3,) grid origin
+    cell: jax.Array,        # () cell width
+    *,
+    k: int,
+    d: int,
+    r: int = 1024,
+    w: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """→ (4, d³·k) channel-major dense slot rows: psort row at its
+    (cell · k + slot) column, cell centers with mass 0 elsewhere.
+
+    ``src_starts[c]`` must satisfy: all input rows whose dest lies in
+    chunk c's range sit within [align128(start), align128(start) + w)
+    — rows beyond are missed and must be audited by the caller.
+    """
+    n = psort.shape[0]
+    m = d * d * d * k
+    assert m % r == 0
+    n_chunks = m // r
+
+    cols_pad = -(-(n + w + 128) // 128) * 128
+    dest_f = jnp.where(
+        dest >= (1 << 24), SENTINEL, dest.astype(jnp.float32)
+    )
+    src = jnp.concatenate(
+        [
+            psort,
+            dest_f[:, None],
+            jnp.ones((n, 1), jnp.float32),
+            jnp.zeros((n, 2), jnp.float32),
+        ],
+        axis=-1,
+    ).T  # (8, N)
+    # padded tail: dest stays 0-filled — but dest 0 is real; overwrite
+    # the dest channel's pad with the sentinel.
+    src = jnp.pad(src, ((0, 0), (0, cols_pad - n)))
+    src = src.at[4, n:].set(SENTINEL)
+
+    geom = jnp.zeros((1, 128), jnp.float32)
+    geom = geom.at[0, :3].set(lo.astype(jnp.float32))
+    geom = geom.at[0, 3].set(jnp.asarray(cell, jnp.float32))
+
+    starts128 = jnp.clip(src_starts // 128, 0, (cols_pad - w) // 128)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, 128), lambda i, s: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((8, r), lambda i, s: (0, i)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, r=r, w=w, k=k, d=d),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, m), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=n_chunks * (r * w * 10),
+            bytes_accessed=n_chunks * (w * 8 + 8 * r) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(starts128, geom, src)
+    return out[:4]

@@ -4,32 +4,37 @@ VMEM-resident accelerator for nbody_tpu/ops/sorted_window.py — the hot
 loop of the spatial-hash force and the Barnes-Hut "window" near engine
 (reference kernels: force_spatial_hash.cu:83-152, the 27-cell SIMT
 sweep). The XLA formulation streams (B, W)-sized match/weight/delta
-intermediates through HBM (measured 318 ms for the 1M hash step); here
-each program holds one target block and one source window in VMEM.
+intermediates through HBM; here each program holds one target block and
+one source window in VMEM.
 
-Layout contract (built by sorted_window.window_sweep):
+Layout contract (built by sorted_window.window_sweep), each choice
+pinned by a Mosaic constraint probed on hardware:
 
-  * targets: the cell-sorted particle arrays, blocked (B, ·) — B rows on
-    sublanes, the few columns on lanes (position xyz / cell coords);
-  * sources: TRANSPOSED copies (4, N) / (3, N) so a window is a LANE
-    slice; window starts are data-dependent (cell_start lookups), so they
-    arrive via SCALAR PREFETCH, aligned DOWN to a 128-lane boundary in
-    XLA — every DMA is then a tiling-aligned dynamic lane slice, with a
-    +128 buffer so alignment never loses coverage;
-  * pair validity is decided in-kernel by exact integer cell-coordinate
-    equality against the window (same predicate as the XLA path, so a
-    misplaced window can only MISS pairs — and misses are counted by the
-    caller's overflow accounting, never silently dropped);
-  * per (block, offset): plain 2D (B, W) VPU blocks — broadcast of
-    (B, 1) target columns against (1, W) source rows; the weight applies
-    softening after the optional cutoff tests the RAW squared distance
+  * sources are channel-major f32 (8, N): [x, y, z, m, cx, cy, cz, ·]
+    with the integer cell coords carried as exact f32 — ONE array, ONE
+    window DMA per offset. A window is a LANE slice whose dynamic start
+    must be PROVABLY 128-aligned: the scalar prefetch carries
+    ``start // 128`` and the kernel multiplies back (row-major windows
+    are rejected: DMA trailing dims must be 128-aligned);
+  * targets are (3, n_pad) transposed blocks (lane-aligned); in-kernel
+    they are flipped to (B, 1) sublane columns by an EXACT eye-matmul
+    (one-hot × f32 at precision=HIGHEST is bit-exact — 3 × 8-bit bf16
+    mantissas cover f32), because Mosaic has no cheap vector transpose;
+  * pair math runs on (B sublanes, 128 lanes) chunks of the window —
+    32-vreg operands; full-window operands spill the register allocator;
+  * the (B, 3) accumulator flips back to the (3, B) output block with a
+    second eye-matmul;
+  * pair validity is exact cell-coordinate equality against the window
+    (same predicate as the XLA path: a misplaced window can only MISS
+    pairs, counted by the caller's overflow audit, never double-count);
+    the optional cutoff tests the RAW squared distance before softening
     (reference force_spatial_hash.cu:120-139 semantics).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,13 +42,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _eye(b: int) -> jax.Array:
+    r = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+    return (r == c).astype(jnp.float32)
+
+
 def _kernel(
-    starts_ref,  # (n_blocks, n_off) i32 scalar-prefetch
-    tpos_ref,    # (B, 3) f32 VMEM block
-    tcrd_ref,    # (B, 3) i32 VMEM block
-    psrc_hbm,    # (4, Np) f32 ANY
-    csrc_hbm,    # (3, Np) i32 ANY
-    out_ref,     # (B, 3) f32 VMEM block
+    starts_ref,  # (n_blocks, n_off) i32 scalar-prefetch: starts // 128
+    tposT_ref,   # (3, B) f32 VMEM block
+    tcrdT_ref,   # (3, B) f32 VMEM block (exact integer coords)
+    src_hbm,     # (8, cols) f32 ANY
+    out_ref,     # (3, B) f32 VMEM block
     *,
     offsets: Tuple[Tuple[int, int], ...],
     wbuf: int,
@@ -54,62 +64,64 @@ def _kernel(
     i = pl.program_id(0)
     eps2 = eps * eps
 
-    def inner(win_p, win_c, sem_p, sem_c):
-        tx = tpos_ref[:, 0:1]   # (B, 1)
-        ty = tpos_ref[:, 1:2]
-        tz = tpos_ref[:, 2:3]
-        tcx = tcrd_ref[:, 0:1]
-        tcy = tcrd_ref[:, 1:2]
-        tcz = tcrd_ref[:, 2:3]
+    def inner(win, sem):
+        b = tposT_ref.shape[1]
+        eye = _eye(b)
+        hp = jax.lax.Precision.HIGHEST
+        # (3, B) -> (B, 3) exactly (module docstring)
+        tpos = jax.lax.dot_general(
+            eye, tposT_ref[...], (((1,), (1,)), ((), ())), precision=hp
+        )
+        tcrd = jax.lax.dot_general(
+            eye, tcrdT_ref[...], (((1,), (1,)), ((), ())), precision=hp
+        )
+        tx, ty, tz = tpos[:, 0:1], tpos[:, 1:2], tpos[:, 2:3]
+        tcx, tcy, tcz = tcrd[:, 0:1], tcrd[:, 1:2], tcrd[:, 2:3]
 
-        b = tx.shape[0]
         ax = jnp.zeros((b, 1), jnp.float32)
         ay = jnp.zeros((b, 1), jnp.float32)
         az = jnp.zeros((b, 1), jnp.float32)
         for o, (dxo, dyo) in enumerate(offsets):
-            s = starts_ref[i, o]
+            s128 = starts_ref[i, o]
             cp = pltpu.make_async_copy(
-                psrc_hbm.at[:, pl.ds(s, wbuf)], win_p, sem_p
-            )
-            cc = pltpu.make_async_copy(
-                csrc_hbm.at[:, pl.ds(s, wbuf)], win_c, sem_c
+                src_hbm.at[:, pl.ds(s128 * 128, wbuf)], win, sem
             )
             cp.start()
-            cc.start()
             cp.wait()
-            cc.wait()
-
-            sx = win_p[0:1]      # (1, W)
-            sy = win_p[1:2]
-            sz = win_p[2:3]
-            sm = win_p[3:4]
-            match = (
-                (win_c[0:1] == tcx + dxo)
-                & (win_c[1:2] == tcy + dyo)
-                & (jnp.abs(win_c[2:3] - tcz) <= z_hw)
-            )  # (B, W)
-            dxv = sx - tx
-            dyv = sy - ty
-            dzv = sz - tz
-            r2 = dxv * dxv + dyv * dyv + dzv * dzv
-            inv = jax.lax.rsqrt(r2 + eps2)
-            wgt = sm * (inv * inv * inv)
-            if cut2 is not None:
-                match = match & (r2 <= cut2)
-            wgt = jnp.where(match & (r2 > 0.0), wgt, 0.0)
-            ax = ax + jnp.sum(wgt * dxv, axis=1, keepdims=True)
-            ay = ay + jnp.sum(wgt * dyv, axis=1, keepdims=True)
-            az = az + jnp.sum(wgt * dzv, axis=1, keepdims=True)
-        out_ref[:, 0:1] = ax
-        out_ref[:, 1:2] = ay
-        out_ref[:, 2:3] = az
+            win_v = win[...]
+            # 128-lane chunks keep operands at 32 vregs (B=256).
+            for j in range(0, wbuf, 128):
+                sx = win_v[0:1, j:j + 128]      # (1, 128)
+                sy = win_v[1:2, j:j + 128]
+                sz = win_v[2:3, j:j + 128]
+                sm = win_v[3:4, j:j + 128]
+                match = (
+                    (win_v[4:5, j:j + 128] == tcx + float(dxo))
+                    & (win_v[5:6, j:j + 128] == tcy + float(dyo))
+                    & (jnp.abs(win_v[6:7, j:j + 128] - tcz) <= float(z_hw))
+                )  # (B, 128)
+                dxv = sx - tx
+                dyv = sy - ty
+                dzv = sz - tz
+                r2 = dxv * dxv + dyv * dyv + dzv * dzv
+                inv = jax.lax.rsqrt(r2 + eps2)
+                wgt = sm * (inv * inv * inv)
+                if cut2 is not None:
+                    match = match & (r2 <= cut2)
+                wgt = jnp.where(match & (r2 > 0.0), wgt, 0.0)
+                ax = ax + jnp.sum(wgt * dxv, axis=1, keepdims=True)
+                ay = ay + jnp.sum(wgt * dyv, axis=1, keepdims=True)
+                az = az + jnp.sum(wgt * dzv, axis=1, keepdims=True)
+        acc = jnp.concatenate([ax, ay, az], axis=1)  # (B, 3)
+        # (B, 3) -> (3, B): contract acc's B with eye's dim 0
+        out_ref[...] = jax.lax.dot_general(
+            acc, eye, (((0,), (0,)), ((), ())), precision=hp
+        )
 
     pl.run_scoped(
         inner,
-        win_p=pltpu.VMEM((4, wbuf), jnp.float32),
-        win_c=pltpu.VMEM((3, wbuf), jnp.int32),
-        sem_p=pltpu.SemaphoreType.DMA(()),
-        sem_c=pltpu.SemaphoreType.DMA(()),
+        win=pltpu.VMEM((8, wbuf), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA(()),
     )
 
 
@@ -123,7 +135,7 @@ def _kernel(
 def window_sweep_pallas(
     psort: jax.Array,       # (N, 4) sorted x,y,z,m
     csort: jax.Array,       # (N, 3) sorted int cell coords
-    win_starts: jax.Array,  # (n_blocks, n_off) i32, 128-aligned
+    win_starts: jax.Array,  # (n_blocks, n_off) i32 window starts
     *,
     offsets: Tuple[Tuple[int, int], ...],
     block_size: int,
@@ -138,51 +150,64 @@ def window_sweep_pallas(
     b = block_size
     n_pad = -(-n // b) * b
     n_blocks = n_pad // b
-    wbuf = window + 128
+    # +128 alignment buffer, rounded so the kernel's lane-chunk loop
+    # tiles the window exactly (extra coverage can only reduce misses:
+    # validity is exact cell matching, never double-counted).
+    wbuf = _round_up(window + 128, 128)
 
-    # Targets: sentinel coords on the tail pad never match any window row.
-    tpos = jnp.pad(psort[:, :3], ((0, n_pad - n), (0, 0)))
-    tcrd = jnp.pad(
-        csort, ((0, n_pad - n), (0, 0)), constant_values=-(1 << 28)
-    )
+    # Targets transposed; sentinel coords on the tail pad never match.
+    tposT = jnp.pad(psort[:, :3], ((0, n_pad - n), (0, 0))).T
+    tcrdT = jnp.pad(
+        csort.astype(jnp.float32),
+        ((0, n_pad - n), (0, 0)),
+        constant_values=float(1 << 26),
+    ).T
 
-    # Sources transposed; lane-count padded so every aligned window fits.
-    cols = _round_up(n + wbuf, 128)
-    psrcT = jnp.pad(psort.T, ((0, 0), (0, cols - n)))
-    csrcT = jnp.pad(
-        csort.T, ((0, 0), (0, cols - n)), constant_values=-(1 << 29)
-    )
+    # Sources channel-major with f32 cell coords (exact for ids < 2^24).
+    cols = _round_up(n + wbuf + 128, 128)
+    src = jnp.concatenate(
+        [
+            psort,
+            csort.astype(jnp.float32),
+            jnp.zeros((n, 1), jnp.float32),
+        ],
+        axis=-1,
+    ).T  # (8, N)
+    src = jnp.pad(src, ((0, 0), (0, cols - n)))
+    src = src.at[4:7, n:].set(float(1 << 27))  # pad coords never match
+
+    starts128 = jnp.clip(win_starts // 128, 0, (cols - wbuf) // 128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((b, 3), lambda i, s: (i, 0)),
-            pl.BlockSpec((b, 3), lambda i, s: (i, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((3, b), lambda i, s: (0, i)),
+            pl.BlockSpec((3, b), lambda i, s: (0, i)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((b, 3), lambda i, s: (i, 0)),
+        out_specs=pl.BlockSpec((3, b), lambda i, s: (0, i)),
     )
     n_off = len(offsets)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(
             _kernel, offsets=offsets, wbuf=wbuf, z_hw=z_hw,
             eps=float(eps), cut2=cut2,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=n_blocks * n_off * b * wbuf * 15,
-            bytes_accessed=n_blocks * (n_off * 7 * wbuf + 2 * b * 3) * 4,
+            bytes_accessed=n_blocks * (n_off * 8 * wbuf + 2 * b * 3) * 4,
             transcendentals=n_blocks * n_off * b * wbuf,
         ),
         interpret=interpret,
-    )(win_starts, tpos, tcrd, psrcT, csrcT)
+    )(starts128, tposT, tcrdT, src)
+    return out.T
 
 
 def _round_up(x: int, m: int) -> int:

@@ -55,6 +55,17 @@ class SortedGrid:
     cell_start: jax.Array
 
 
+def unsort_rows(rows_sorted: jax.Array, order: jax.Array) -> jax.Array:
+    """Undo a sort permutation on row data — as a GATHER, not a scatter.
+
+    ``zeros.at[order].set(rows)`` and ``rows[argsort(order)]`` are the same
+    permutation, but on TPU a 1M-row scatter costs ~50 ms while argsort +
+    row gather costs ~13 ms (scripts/profile_build.py): XLA scatters are
+    descriptor-serialized far harder than gathers.
+    """
+    return rows_sorted[jnp.argsort(order)]
+
+
 def build_sorted_grid(
     pos: jax.Array, mass: jax.Array, coords: jax.Array, d: int
 ) -> SortedGrid:
@@ -98,11 +109,12 @@ def window_sweep(
     overflow count). ``pair_weight(r2_raw, m_j)`` runs on (B, W) tiles;
     self/coincident pairs (r2_raw == 0) are masked by the engine.
 
-    When ``eps`` is given (with ``cutoff2`` for the hash predicate) the
-    TPU path runs the VMEM-resident Pallas kernel
-    (ops/pallas_window_sweep.py) — same windows, same validity predicate;
-    ``pair_weight`` is only used by the XLA fallback. NBODY_PALLAS_WINDOW=0
-    opts out for A/B profiling.
+    When ``eps`` is given (with ``cutoff2`` for the hash predicate) and
+    NBODY_PALLAS_WINDOW=1, the TPU path runs the VMEM-resident Pallas
+    kernel (ops/pallas_window_sweep.py) — same windows, same validity
+    predicate; ``pair_weight`` is only used by the XLA path. Opt-in while
+    the kernel's Mosaic compile is being stabilized on real hardware
+    (interpret-mode equivalence is tested in CI).
 
     Not jitted itself — callers trace it inside their own jitted force
     function (all arguments after ``grid`` must be Python constants there).
@@ -112,7 +124,7 @@ def window_sweep(
     if (
         eps is not None
         and jax.default_backend() == "tpu"
-        and os.environ.get("NBODY_PALLAS_WINDOW") != "0"
+        and os.environ.get("NBODY_PALLAS_WINDOW") == "1"
     ):
         from nbody_tpu.ops.pallas_window_sweep import window_sweep_pallas
 
@@ -126,12 +138,7 @@ def window_sweep(
             window=window, z_hw=z_halfwidth, eps=eps, cut2=cutoff2,
         )
         n = grid.psort.shape[0]
-        acc = (
-            jnp.zeros((n, 3), acc_sorted.dtype)
-            .at[grid.order]
-            .set(acc_sorted[:n])
-        )
-        return acc, overflow
+        return unsort_rows(acc_sorted[:n], grid.order), overflow
 
     n = grid.psort.shape[0]
     num_cells = d * d * d
@@ -200,8 +207,7 @@ def window_sweep(
 
     acc_blocks, over_blocks = jax.lax.map(one_block, (tpos_b, tcrd_b))
     acc_sorted = acc_blocks.reshape(n_pad, 3)[:n]
-    acc = jnp.zeros((n, 3), acc_sorted.dtype).at[grid.order].set(acc_sorted)
-    return acc, jnp.sum(over_blocks)
+    return unsort_rows(acc_sorted, grid.order), jnp.sum(over_blocks)
 
 
 def _window_starts(

@@ -59,6 +59,55 @@ def tile_near_field(
     rank_sorted = arange - grid.cell_start[ids_sorted]
     overflow = jnp.sum((rank_sorted >= k).astype(jnp.int32))
 
+    import os
+
+    if (
+        jax.default_backend() == "tpu"
+        and os.environ.get("NBODY_PALLAS_NEAR") != "0"
+    ):
+        # Full-Pallas tile path — the TPU default (NBODY_PALLAS_NEAR=0
+        # opts out for A/B profiling):
+        #   build: MXU one-hot monotone scatter (pallas_scatter.py) —
+        #          the XLA 1M-row scatter-set alone costs ~50 ms;
+        #   sweep: VMEM-resident static-shift kernel (pallas_tile_near.py)
+        #          — 24.9 ms at 1M/L6/k16 vs 210 ms for the fused-XLA
+        #          sweep below (which streams every (K, cells)
+        #          intermediate through HBM).
+        from nbody_tpu.ops.pallas_scatter import monotone_scatter_tiles
+        from nbody_tpu.ops.pallas_tile_near import tile_sweep_pallas
+
+        r_chunk, w_win = 1024, 1024
+        m = num_cells * k
+        dest = jnp.where(
+            rank_sorted < k, ids_sorted * k + rank_sorted, 1 << 24
+        )
+        n_chunks = m // r_chunk
+        chunk_ar = jnp.arange(n_chunks, dtype=jnp.int32)
+        c0 = (chunk_ar * r_chunk) // k
+        c1 = jnp.minimum(
+            ((chunk_ar + 1) * r_chunk + k - 1) // k, num_cells
+        )
+        starts = grid.cell_start[c0]
+        # Rows past a chunk's window are MISSED near-field contributions,
+        # never misplaced ones — audit them like slot overflow. The
+        # kernel aligns starts DOWN to 128 (DMA provability), so the
+        # effective coverage begins at the aligned start.
+        window_miss = jnp.sum(
+            jnp.maximum(
+                grid.cell_start[c1] - (starts // 128) * 128 - w_win, 0
+            )
+        )
+        overflow = overflow + window_miss
+
+        tiles_cm = monotone_scatter_tiles(
+            grid.psort, dest, starts, lo, cell,
+            k=k, d=d, r=r_chunk, w=w_win,
+        )  # (4, d³·k) channel-major
+        tiles_t = tiles_cm.reshape(4, d, d, d, k).transpose(4, 0, 1, 2, 3)
+        acc_slots = tile_sweep_pallas(tiles_t, k=k, d=d, ws=ws, eps=eps)
+        acc = _slot_pickup(acc_slots, grid, ids_sorted, rank_sorted, k, n, G)
+        return acc, overflow
+
     # tiles with inert empty slots at cell centers. The scatter uses LINEAR
     # row indices into (d³·(k+1), 4) — measured ~10× faster on TPU than the
     # equivalent 4-D index scatter (slot k is the overflow sink, sliced off).
@@ -78,8 +127,11 @@ def tile_near_field(
         ],
         axis=-1,
     ).reshape(num_cells * (k + 1), 4)
+    # unique_indices: every (cell, rank<k) pair is distinct; only sink
+    # slots (rank clamped to k) can collide, and those rows are sliced
+    # away below — the hint lets XLA skip its duplicate-serialization.
     tiles = (
-        init.at[flat].set(grid.psort)
+        init.at[flat].set(grid.psort, unique_indices=True)
         .reshape(d, d, d, k + 1, 4)[:, :, :, :k, :]
     )
 
@@ -88,21 +140,6 @@ def tile_near_field(
     # lane utilization (the (d³, K, 4)-trailing layout starves the lanes).
     tiles_t = tiles.transpose(3, 4, 0, 1, 2)  # (k, 4, d, d, d)
 
-    import os
-
-    if (
-        jax.default_backend() == "tpu"
-        and os.environ.get("NBODY_PALLAS_NEAR") != "0"
-    ):
-        # VMEM-resident Pallas sweep — the default on TPU: 24.9 ms at
-        # 1M/L6/k16 vs 210 ms for the fused-XLA path below (which streams
-        # every (K, cells) intermediate through HBM). NBODY_PALLAS_NEAR=0
-        # opts out for A/B profiling.
-        from nbody_tpu.ops.pallas_tile_near import tile_sweep_pallas
-
-        acc_slots = tile_sweep_pallas(tiles_t, k=k, d=d, ws=ws, eps=eps)
-        acc = _slot_pickup(acc_slots, grid, ids_sorted, rank_sorted, k, n, G)
-        return acc, overflow
     r = range(-ws, ws + 1)
     offs = np.asarray(
         [(x, y, z) for x in r for y in r for z in r], np.int32
@@ -150,12 +187,13 @@ def tile_near_field(
 def _slot_pickup(acc_slots, grid, ids_sorted, rank_sorted, k, n, G):
     """Per-particle pickup: (k, 3, d, d, d) slot accelerations → (N, 3) in
     ORIGINAL particle order. One transpose then a LINEAR row gather
-    (cell·k + rank), then the inverse-permutation scatter."""
+    (cell·k + rank), then the inverse-permutation GATHER (unsort_rows —
+    a 1M-row scatter costs ~50 ms on TPU, the gather form ~13 ms)."""
+    from nbody_tpu.ops.sorted_window import unsort_rows
+
     d = acc_slots.shape[-1]
     acc_t = acc_slots.transpose(2, 3, 4, 0, 1).reshape(d * d * d * k, 3)
     rank_read = jnp.minimum(rank_sorted, k - 1)
     acc_sorted = acc_t[ids_sorted * k + rank_read]
     acc_sorted = jnp.where((rank_sorted < k)[:, None], acc_sorted, 0.0)
-    return jnp.zeros((n, 3), acc_sorted.dtype).at[grid.order].set(
-        G * acc_sorted
-    )
+    return unsort_rows(G * acc_sorted, grid.order)

@@ -77,10 +77,12 @@ def _route_to_slabs(pos_l, mass_l, dest, n_dev: int, capacity: int, axis):
     def route_back(acc_back):
         # acc_back: (P, C, 3) — row r = accs computed by slab owner r for
         # the particles I sent it, in my send-slot order.
+        from nbody_tpu.ops.sorted_window import unsort_rows
+
         flatb = acc_back.reshape(n_dev * c, 3)
         idx = dest_s * c + jnp.minimum(rank, c - 1)
         acc_sorted = jnp.where((rank < c)[:, None], flatb[idx], 0.0)
-        return jnp.zeros((n_l, 3), acc_sorted.dtype).at[order].set(acc_sorted)
+        return unsort_rows(acc_sorted, order)
 
     return recv.reshape(n_dev * c, 5), route_back, overflow
 
@@ -267,8 +269,9 @@ def _sharded_near_field(
     picked = jnp.where(
         ((rank_s < k) & (lid_s < s * d * d))[:, None], picked, 0.0
     )
-    m_recv = recv.shape[0]
-    acc_recv = jnp.zeros((m_recv, 3), picked.dtype).at[order].set(picked)
+    from nbody_tpu.ops.sorted_window import unsort_rows
+
+    acc_recv = unsort_rows(picked, order)
     acc_back = jax.lax.all_to_all(
         acc_recv.reshape(n_dev, capacity, 3), axis, split_axis=0,
         concat_axis=0,

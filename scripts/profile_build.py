@@ -122,21 +122,21 @@ def main():
     def f_unsort(c, _):
         return jnp.zeros((N, 3)).at[order].set(c), None
 
-    bench("argsort 1M", mk("", f_argsort, jnp.zeros((N,), jnp.int32))())
+    bench("argsort 1M", mk("", f_argsort, jnp.zeros((N,), jnp.int32)))
     bench("payload row gather (N,4)", mk("", f_gather_rows4,
-                                         jnp.zeros((N, 4)))())
+                                         jnp.zeros((N, 4))))
     bench("single-col gather (N,)", mk("", f_gather_1col,
-                                       jnp.zeros((N,), jnp.int32))())
+                                       jnp.zeros((N,), jnp.int32)))
     bench("segment index (scatter-min+cummin+gather)",
-          mk("", f_segment, jnp.zeros((N,), jnp.int32))())
+          mk("", f_segment, jnp.zeros((N,), jnp.int32)))
     bench("slot scatter-set (N rows -> 4.4M,4)",
-          mk("", f_scatter_set, jnp.zeros((nc * K, 4)))())
+          mk("", f_scatter_set, jnp.zeros((nc * K, 4))))
     bench("tiles transpose roundtrip", mk("", f_transpose,
-                                          jnp.zeros((nc * K, 4)))())
+                                          jnp.zeros((nc * K, 4))))
     bench("pickup gather (N rows of 3)", mk("", f_pickup,
-                                            jnp.zeros((N, 3)))())
+                                            jnp.zeros((N, 3))))
     bench("unsort scatter (N rows of 3)", mk("", f_unsort,
-                                             jnp.zeros((N, 3)))())
+                                             jnp.zeros((N, 3))))
     print("exit=0", flush=True)
 
 

@@ -53,3 +53,106 @@ def test_tile_sweep_pallas_interpret(ws):
     np.testing.assert_allclose(
         np.asarray(got), ref, rtol=2e-4, atol=2e-4
     )
+
+
+def _sorted_scene(n=1500, d=8, radius=4.0):
+    from nbody_tpu.models.distributions import init_spherical
+    from nbody_tpu.ops.sorted_window import build_sorted_grid
+    from nbody_tpu.types import SphericalDistParams
+
+    s = init_spherical(jax.random.PRNGKey(1), n, SphericalDistParams(radius=radius))
+    lo = jnp.min(s.pos, axis=0)
+    hi = jnp.max(s.pos, axis=0)
+    cell = jnp.maximum(jnp.max(hi - lo), 1e-6) * (1 + 1e-5) / d
+    coords = jnp.clip(((s.pos - lo) / cell).astype(jnp.int32), 0, d - 1)
+    grid = build_sorted_grid(s.pos, s.mass, coords, d)
+    return s, grid, lo, cell, coords
+
+
+def test_monotone_scatter_contract():
+    """MXU one-hot scatter (ops/pallas_scatter.py): real rows land
+    BIT-EXACTLY at their (cell, slot) column; unmatched columns are inert
+    fillers (mass exactly 0, center inside the right cell)."""
+    from nbody_tpu.ops.pallas_scatter import monotone_scatter_tiles
+
+    n, d, k = 1500, 8, 8
+    s, grid, lo, cell, _ = _sorted_scene(n, d)
+    nc = d**3
+    ids_sorted = (
+        grid.csort[:, 0] * d + grid.csort[:, 1]
+    ) * d + grid.csort[:, 2]
+    ar = jnp.arange(n, dtype=jnp.int32)
+    rank = ar - grid.cell_start[ids_sorted]
+
+    r, w = 512, 2048
+    dest = jnp.where(rank < k, ids_sorted * k + rank, 1 << 24)
+    car = jnp.arange(nc * k // r, dtype=jnp.int32)
+    starts = grid.cell_start[(car * r) // k]
+    c1 = jnp.minimum(((car + 1) * r + k - 1) // k, nc)
+    miss = int(jnp.sum(jnp.maximum(grid.cell_start[c1] - starts - w, 0)))
+    assert miss == 0  # w chosen to cover this scene
+
+    got = np.asarray(
+        monotone_scatter_tiles(
+            grid.psort, dest, starts, lo, cell,
+            k=k, d=d, r=r, w=w, interpret=True,
+        )
+    )
+    psort = np.asarray(grid.psort)
+    destn = np.asarray(dest)
+    real = destn < (1 << 24)
+    cols = destn[real]
+    assert (got[:, cols].T == psort[real]).all()
+    fill = np.ones(nc * k, bool)
+    fill[cols] = False
+    assert (got[3, fill] == 0.0).all()
+    cw = float(cell)
+    lo_np = np.asarray(lo)
+    fc = np.flatnonzero(fill)
+    dec = (fc // k // (d * d), (fc // k // d) % d, (fc // k) % d)
+    for ch in range(3):
+        lo_b = lo_np[ch] + dec[ch] * cw
+        v = got[ch, fc]
+        assert ((v >= lo_b - 1e-5) & (v <= lo_b + cw + 1e-5)).all()
+
+
+def test_window_sweep_pallas_matches_xla():
+    """Pallas sorted-window sweep ≡ the XLA window_sweep path (same
+    windows, same validity predicate, cutoff-before-softening)."""
+    from nbody_tpu.ops.pallas_window_sweep import window_sweep_pallas
+    from nbody_tpu.ops.sorted_window import (
+        _window_starts,
+        unsort_rows,
+        window_sweep,
+        xy_ball,
+    )
+
+    n, d = 1500, 8
+    s, grid, lo, cell, _ = _sorted_scene(n, d)
+    eps, cut = 0.1, 1.2
+    eps2, cut2 = eps * eps, cut * cut
+
+    def pw(r2, mj):
+        inv = jax.lax.rsqrt(r2 + eps2)
+        return jnp.where(r2 <= cut2, mj * inv**3, 0.0)
+
+    wsize, b = 1024, 256
+    acc_x, over_x = window_sweep(
+        grid, d=d, xy_offsets=xy_ball(1), z_halfwidth=1,
+        pair_weight=pw, window=wsize, block_size=b,
+    )
+    starts, over_p = _window_starts(
+        grid, d=d, xy_offsets=xy_ball(1), z_halfwidth=1,
+        window=wsize, block_size=b,
+    )
+    acc_sorted = window_sweep_pallas(
+        grid.psort, grid.csort, starts, offsets=xy_ball(1),
+        block_size=b, window=wsize, z_hw=1, eps=eps, cut2=cut2,
+        interpret=True,
+    )
+    acc_p = unsort_rows(acc_sorted[:n], grid.order)
+    assert int(over_x) == 0 and int(over_p) == 0
+    scale = float(jnp.max(jnp.abs(acc_x)))
+    np.testing.assert_allclose(
+        np.asarray(acc_p), np.asarray(acc_x), atol=2e-5 * scale
+    )
