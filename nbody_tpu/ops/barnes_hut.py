@@ -158,6 +158,40 @@ def scatter_finest_moments(
     )
 
 
+def _sorted_finest_moments(grid, ids_sorted, lo, cell, d: int, order: int):
+    """Finest-level moments from CELL-SORTED rows via the MXU segment-sum
+    (ops/pallas_scatter.py) — the TPU fast path: the unsorted
+    ``.at[cid].add`` scatter costs ~50 ms at 1M rows, the segment sum a
+    few ms. Returns (packed (d,d,d,C), window_miss): rows beyond a
+    chunk's source window would be DROPPED, so the caller must fall back
+    to the exact scatter when window_miss > 0 (lax.cond — audited, never
+    silent)."""
+    psort = grid.psort
+    ctr = lo + (grid.csort.astype(psort.dtype) + 0.5) * cell
+    m = psort[:, 3:4]
+    if order >= 2:
+        xr = psort[:, :3] - ctr
+        vals = jnp.concatenate([m, m * xr, m * _outer6(xr)], axis=-1)
+    else:
+        vals = jnp.concatenate([m, m * psort[:, :3]], axis=-1)
+
+    from nbody_tpu.ops.pallas_scatter import monotone_segment_sum
+
+    nc = d * d * d
+    r_chunk, w_win = 256, 2560
+    n_chunks = -(-nc // r_chunk)
+    car = jnp.arange(n_chunks, dtype=jnp.int32)
+    starts = grid.cell_start[jnp.minimum(car * r_chunk, nc)]
+    ends = grid.cell_start[jnp.minimum((car + 1) * r_chunk, nc)]
+    miss = jnp.sum(
+        jnp.maximum(ends - (starts // 128) * 128 - w_win, 0)
+    )
+    packed_cm = monotone_segment_sum(
+        vals, ids_sorted, starts, num_dest=nc, r=r_chunk, w=w_win
+    )
+    return packed_cm.T.reshape(d, d, d, vals.shape[1]), miss
+
+
 def build_pyramid(
     pos: jax.Array, mass: jax.Array, levels: int, order: int = 1
 ) -> Pyramid:
@@ -788,7 +822,58 @@ def barnes_hut_forces(
     (the default: same accuracy as monopole ws = ceil(1/θ) with a
     (2ws+1)³-fold smaller near field); 1 = classic monopole-only.
     """
+    import os
+
     ws = theta_to_ws(theta, order=multipole_order)
+    if (
+        near_engine == "tiles"
+        and jax.default_backend() == "tpu"
+        and os.environ.get("NBODY_PALLAS_NEAR") != "0"
+    ):
+        # TPU fast path: ONE cell sort feeds both the pyramid moments
+        # (MXU segment sum, lax.cond fallback to the exact scatter when
+        # its window audit is nonzero) and the tile near field.
+        from nbody_tpu.ops.sorted_window import build_sorted_grid
+        from nbody_tpu.ops.tile_sweep import tile_near_field
+
+        d = 1 << levels
+        lo, cell = pyramid_geometry(
+            jnp.min(pos, axis=0), jnp.max(pos, axis=0), levels
+        )
+        coords = jnp.clip(((pos - lo) / cell).astype(jnp.int32), 0, d - 1)
+        grid = build_sorted_grid(pos, mass, coords, d)
+        ids_sorted = (
+            grid.csort[:, 0] * d + grid.csort[:, 1]
+        ) * d + grid.csort[:, 2]
+        packed_fast, miss = _sorted_finest_moments(
+            grid, ids_sorted, lo, cell, d, multipole_order
+        )
+        packed = jax.lax.cond(
+            miss == 0,
+            lambda: packed_fast,
+            lambda: scatter_finest_moments(
+                pos, mass, coords, lo, cell, d, multipole_order
+            ),
+        )
+        pyr = pyramid_from_packed(packed, lo, cell, levels, multipole_order)
+        a_far, j_far, h_far = far_field_grid(pyr, ws, G, softening, levels)
+        a_near, _over = tile_near_field(
+            pos, mass, coords, lo, cell,
+            d=d, ws=ws, k=near_k, G=G, eps=softening, grid=grid,
+        )
+        centers = lo + (coords.astype(pos.dtype) + 0.5) * cell
+        parts = [a_far, j_far] + ([h_far] if h_far is not None else [])
+        packed_g = jnp.concatenate(parts, axis=-1)
+        cid = (coords[:, 0] * d + coords[:, 1]) * d + coords[:, 2]
+        vals = packed_g.reshape(d**3, packed_g.shape[-1])[cid]
+        delta = pos - centers
+        pick = vals[:, :3] + sym_matvec(vals[:, 3:9], delta)
+        if h_far is not None:
+            pick = pick + 0.5 * sym_matvec(
+                sym3_matvec(vals[:, 9:19], delta), delta
+            )
+        return a_near + pick
+
     pyr = build_pyramid(pos, mass, levels, order=multipole_order)
     a_far, j_far, h_far = far_field_grid(pyr, ws, G, softening, levels)
     if near_engine == "tiles":

@@ -116,6 +116,110 @@ def _kernel(
     )
 
 
+def _segsum_kernel(
+    starts_ref,   # (n_chunks,) i32 scalar-prefetch: window starts // 128
+    src_hbm,      # (16, cols_pad) f32 ANY: C value channels + dest + 0s
+    out_ref,      # (16, R) f32 VMEM block
+    *,
+    r: int,
+    w: int,
+):
+    c = pl.program_id(0)
+
+    def inner(win, sem):
+        s128 = starts_ref[c]
+        cp = pltpu.make_async_copy(
+            src_hbm.at[:, pl.ds(s128 * 128, w)], win, sem
+        )
+        cp.start()
+        cp.wait()
+
+        row0 = c * r
+        win_v = win[...]                                     # (16, W)
+        keys = win_v[15:16]                                  # (1, W)
+        iota_sub = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+        dest_rows_f = (iota_sub + row0).astype(jnp.float32)  # (R, 1)
+        onehot = (dest_rows_f == keys).astype(jnp.float32)   # (R, W)
+        out_ref[...] = jax.lax.dot_general(
+            win_v,
+            onehot,
+            (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (16, R): segment sums, f32-accurate MXU accumulation
+
+    pl.run_scoped(
+        inner,
+        win=pltpu.VMEM((16, w), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA(()),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_dest", "r", "w", "interpret")
+)
+def monotone_segment_sum(
+    vals: jax.Array,        # (N, C) rows, C <= 15, sorted by dest
+    dest: jax.Array,        # (N,) i32 non-decreasing segment ids
+    src_starts: jax.Array,  # (n_chunks,) i32 source window starts
+    *,
+    num_dest: int,
+    r: int = 256,
+    w: int = 2560,
+    interpret: bool = False,
+) -> jax.Array:
+    """→ (C, num_dest) per-segment sums — the scatter-ADD analogue of
+    ``monotone_scatter_tiles`` (same one-hot MXU pattern, but a dest row
+    matches MANY sources; precision=HIGHEST accumulates their exact
+    3-way-bf16 splits in f32). An XLA ``.at[dest].add`` of 1M rows costs
+    ~50 ms; this runs in a few ms. Rows beyond a chunk's window are
+    DROPPED — the caller must size w so its audit covers the risk.
+    """
+    n, c_in = vals.shape
+    assert c_in <= 15
+    m = -(-num_dest // r) * r
+    n_chunks = m // r
+
+    cols_pad = -(-(n + w + 128) // 128) * 128
+    dest_f = jnp.where(
+        dest >= (1 << 24), SENTINEL, dest.astype(jnp.float32)
+    )
+    src = jnp.concatenate(
+        [
+            vals,
+            jnp.zeros((n, 15 - c_in), jnp.float32),
+            dest_f[:, None],
+        ],
+        axis=-1,
+    ).T  # (16, N)
+    src = jnp.pad(src, ((0, 0), (0, cols_pad - n)))
+    src = src.at[15, n:].set(SENTINEL)
+
+    starts128 = jnp.clip(src_starts // 128, 0, (cols_pad - w) // 128)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((16, r), lambda i, s: (0, i)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_segsum_kernel, r=r, w=w),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((16, m), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=n_chunks * (r * w * 18),
+            bytes_accessed=n_chunks * (w * 16 + 16 * r) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(starts128, src)
+    return out[:c_in, :num_dest]
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "d", "r", "w", "interpret")
 )

@@ -49,7 +49,9 @@ def _eye(b: int) -> jax.Array:
 
 
 def _kernel(
-    starts_ref,  # (n_blocks, n_off) i32 scalar-prefetch: starts // 128
+    starts_ref,  # (n_blocks·n_off,) i32 scalar-prefetch: starts // 128
+                 # FLAT: 2-D prefetch operands are lane-padded to 128 in
+                 # SMEM and blow its 1 MB limit at 1M particles
     tposT_ref,   # (3, B) f32 VMEM block
     tcrdT_ref,   # (3, B) f32 VMEM block (exact integer coords)
     src_hbm,     # (8, cols) f32 ANY
@@ -81,8 +83,9 @@ def _kernel(
         ax = jnp.zeros((b, 1), jnp.float32)
         ay = jnp.zeros((b, 1), jnp.float32)
         az = jnp.zeros((b, 1), jnp.float32)
+        n_off = len(offsets)
         for o, (dxo, dyo) in enumerate(offsets):
-            s128 = starts_ref[i, o]
+            s128 = starts_ref[i * n_off + o]
             cp = pltpu.make_async_copy(
                 src_hbm.at[:, pl.ds(s128 * 128, wbuf)], win, sem
             )
@@ -176,7 +179,9 @@ def window_sweep_pallas(
     src = jnp.pad(src, ((0, 0), (0, cols - n)))
     src = src.at[4:7, n:].set(float(1 << 27))  # pad coords never match
 
-    starts128 = jnp.clip(win_starts // 128, 0, (cols - wbuf) // 128)
+    starts128 = jnp.clip(
+        win_starts // 128, 0, (cols - wbuf) // 128
+    ).reshape(-1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

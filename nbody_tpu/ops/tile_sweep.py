@@ -42,13 +42,17 @@ def tile_near_field(
     k: int,
     G: float,
     eps: float,
+    grid=None,
 ):
     """Exact near-field acceleration within the (2ws+1)³ cell ball.
 
-    Returns (acc (N, 3) in original order, overflow count).
+    Returns (acc (N, 3) in original order, overflow count). Pass a
+    prebuilt ``grid`` (build_sorted_grid output for the same coords) to
+    share the sort with the pyramid build.
     """
     n = pos.shape[0]
-    grid = build_sorted_grid(pos, mass, coords, d)
+    if grid is None:
+        grid = build_sorted_grid(pos, mass, coords, d)
 
     # rank within cell, in sorted order
     num_cells = d * d * d

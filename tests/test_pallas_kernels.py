@@ -156,3 +156,37 @@ def test_window_sweep_pallas_matches_xla():
     np.testing.assert_allclose(
         np.asarray(acc_p), np.asarray(acc_x), atol=2e-5 * scale
     )
+
+
+def test_monotone_segment_sum_matches_scatter_add():
+    """MXU segment sum (pallas_scatter.monotone_segment_sum) ≡ the XLA
+    scatter-add it replaces, to f32 reduction tolerance."""
+    from nbody_tpu.ops.pallas_scatter import monotone_segment_sum
+
+    n, d = 1500, 8
+    s, grid, lo, cell, _ = _sorted_scene(n, d)
+    nc = d**3
+    ids_sorted = (
+        grid.csort[:, 0] * d + grid.csort[:, 1]
+    ) * d + grid.csort[:, 2]
+    vals = jnp.concatenate(
+        [grid.psort[:, 3:4], grid.psort[:, 3:4] * grid.psort[:, :3]],
+        axis=-1,
+    )  # (n, 4) moments
+
+    want = jnp.zeros((nc, 4)).at[ids_sorted].add(vals)
+
+    r, w = 128, 2048
+    n_chunks = -(-nc // r)
+    car = jnp.arange(n_chunks, dtype=jnp.int32)
+    starts = grid.cell_start[jnp.minimum(car * r, nc)]
+    ends = grid.cell_start[jnp.minimum((car + 1) * r, nc)]
+    miss = int(jnp.sum(jnp.maximum(ends - (starts // 128) * 128 - w, 0)))
+    assert miss == 0
+
+    got = monotone_segment_sum(
+        vals, ids_sorted, starts, num_dest=nc, r=r, w=w, interpret=True
+    ).T
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
