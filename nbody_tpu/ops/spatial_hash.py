@@ -222,18 +222,20 @@ def hash_window_defaults(config: SimulationConfig):
     """(window, block) for the sorted-window sweep.
 
     The window must cover a target block plus the neighbor z-runs — a
-    DENSITY-dependent quantity. The auto default is correctness-first
-    (measured overflow 0 for the reference's default scene at 100K and 1M);
-    tighter windows are faster but MUST be validated with
-    ``ParticleSystem.audit_short_range()`` — e.g. at 100K/radius-10,
-    window 1024 is 1.4× faster but drops 80 pair-windows.
+    DENSITY-dependent quantity. The auto defaults are correctness-first
+    (measured overflow 0 for the reference's default scene at each scale)
+    and r2-retuned for the Pallas sweep: at ≤100K, (window 1024, block
+    128) audits 0 and is 1.5× faster than (2048, 256); at 1M the dense
+    core needs the full 2048 (1024/1280 drop 150-290K pair-windows).
+    Tighter windows MUST be validated with
+    ``ParticleSystem.audit_short_range()``.
     """
     if config.hash_window > 0:
         window = config.hash_window
         block = 512 if window >= 1536 else 256
         return window, block
     n = config.particle_count
-    return (2048, 256) if n <= 300_000 else (2048, 512)
+    return (1024, 128) if n <= 150_000 else (2048, 256)
 
 
 # ---------------------------------------------------------------------------
