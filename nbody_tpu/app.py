@@ -271,12 +271,27 @@ class Application:
 
         self.system.block_until_ready()
         self._export_if_requested()
+        if self.system.particle_count <= 100_000:
+            energy = self.system.compute_total_energy()
+            energy_kind = "exact"
+        else:
+            # O(N²) exact PE is too slow at scale; report the unbiased
+            # sampled estimate instead of nothing (ops/integrator.py).
+            from nbody_tpu.ops.integrator import sampled_total_energy
+
+            energy = float(
+                sampled_total_energy(
+                    self.system.state,
+                    self.system.config.G,
+                    self.system.config.softening,
+                )
+            )
+            energy_kind = "sampled"
         summary = {
             "steps": steps,
             "final_time": self.system.simulation_time,
-            "total_energy": self.system.compute_total_energy()
-            if self.system.particle_count <= 100_000
-            else None,
+            "total_energy": energy,
+            "energy_kind": energy_kind,
         }
         print(json.dumps(summary))
         return 0

@@ -164,3 +164,27 @@ def test_potential_energy_accumulate_modes(key):
         jax.config.update("jax_enable_x64", prev)
     with pytest.raises(ValueError, match="unknown"):
         potential_energy(s.pos, s.mass, 1.0, 0.1, accumulate="bogus")
+
+
+def test_sampled_potential_energy_unbiased(key):
+    """Sampled PE estimator (at-scale observability) is within a few
+    percent of the exact blocked PE."""
+    from nbody_tpu.models import init_spherical
+    from nbody_tpu.ops.integrator import sampled_potential_energy
+    from nbody_tpu.types import SphericalDistParams
+
+    s = init_spherical(key, 8192, SphericalDistParams(radius=5.0))
+    exact = float(potential_energy(s.pos, s.mass, 1.0, 0.1))
+    est = float(
+        sampled_potential_energy(
+            s.pos, s.mass, 1.0, 0.1, samples=2048, key=key
+        )
+    )
+    assert abs(est - exact) / abs(exact) < 0.05
+    # full-sample case degenerates to exact
+    est_full = float(
+        sampled_potential_energy(
+            s.pos, s.mass, 1.0, 0.1, samples=8192, key=key
+        )
+    )
+    assert abs(est_full - exact) / abs(exact) < 1e-5

@@ -36,7 +36,9 @@ def reference_sweep(tiles_t, ws, eps):
 
 @pytest.mark.parametrize("ws", [1, 2])
 def test_tile_sweep_pallas_interpret(ws):
-    k, d = 4, 8
+    # interpret mode executes each of the (2ws+1)³·k unrolled blocks in
+    # Python — keep ws=2 tiny (162 s at k=4 on the 1-core box)
+    k, d = (4, 8) if ws == 1 else (2, 6)
     key = jax.random.PRNGKey(0)
     pos = jax.random.uniform(key, (k, 3, d, d, d), jnp.float32, 0.0, 8.0)
     mass = jax.random.uniform(
