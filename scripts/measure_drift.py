@@ -53,8 +53,17 @@ def main():
 
     @jax.jit
     def energy(s):
+        # block_size 2048: at 1M the kahan path is a map×scan over
+        # (N/b)² chunks — b=256 costs 390 s of sequential overhead (and
+        # a ~6-min device program can crash the TPU worker); b=2048 is
+        # compute-bound (~20 s).
         return kinetic_energy(s) + potential_energy(
-            s.pos, s.mass, config.G, config.softening, accumulate="kahan"
+            s.pos,
+            s.mass,
+            config.G,
+            config.softening,
+            accumulate="kahan",
+            block_size=2048,
         )
 
     t0 = time.time()
