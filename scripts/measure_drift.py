@@ -2,9 +2,11 @@
 Barnes-Hut on one TPU chip (BASELINE.md target: < 1e-4; spec:
 docs/specs/quality-attributes.md "North-star measurement").
 
-Potential energy uses the 'kahan' compensated accumulator
-(ops/integrator.py): the 5×10¹¹ one-signed pair terms at 1M would
-otherwise accumulate f32 rounding of the same order as the drift target.
+Potential energy uses the Pallas all-pairs kernel with in-kernel Kahan
+accumulation (ops/direct.py:pairwise_potential_pallas, ~1e-7 relative):
+the 5×10¹¹ one-signed pair terms at 1M would otherwise accumulate f32
+rounding of the same order as the drift target, and the XLA blocked
+form is HBM-bound (~350 s/eval — long enough to crash the TPU worker).
 
 Usage: python scripts/measure_drift.py [N] [STEPS] [CHUNK]
 Writes one JSON line per checkpoint so a killed run still yields data.
@@ -51,19 +53,15 @@ def main():
     )
     state = jax.jit(lambda s: initialize_forces(s, force_fn))(state)
 
+    from nbody_tpu.ops.direct import pairwise_potential_pallas
+
     @jax.jit
     def energy(s):
-        # block_size 2048: at 1M the kahan path is a map×scan over
-        # (N/b)² chunks — b=256 costs 390 s of sequential overhead (and
-        # a ~6-min device program can crash the TPU worker); b=2048 is
-        # compute-bound (~20 s).
-        return kinetic_energy(s) + potential_energy(
-            s.pos,
-            s.mass,
-            config.G,
-            config.softening,
-            accumulate="kahan",
-            block_size=2048,
+        # Pallas all-pairs PE (VMEM tiles, in-kernel Kahan): ~7 s at 1M.
+        # The XLA blocked PE streams (B, N, 3) temps through HBM — ~350 s,
+        # and a device program that long can CRASH the TPU worker.
+        return kinetic_energy(s) + pairwise_potential_pallas(
+            s.pos, s.mass, config.G, config.softening
         )
 
     t0 = time.time()
