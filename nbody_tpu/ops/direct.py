@@ -210,16 +210,17 @@ def _pe_kernel(pos_i_ref, pos_jt_ref, mass_i_ref, mass_j_ref, out_ref, *,
     inv_r = jax.lax.rsqrt(r2_raw + eps * eps)
     e = mass_i_ref[:, 0:1] * mass_j_ref[0:1, :] * inv_r
     e = jnp.where(r2_raw == 0.0, 0.0, e)     # self/coincident excluded
-    part = jnp.sum(e)                        # (Bi, Bj) tree-reduced
+    part = jnp.sum(e).reshape(1, 1)          # (Bi, Bj) tree-reduced
 
     # Kahan across the j revisits: the partials are one-signed, so plain
-    # f32 accumulation would drift coherently over ~1000 blocks.
-    s = out_ref[0, 0]
-    comp = out_ref[0, 1]
+    # f32 accumulation would drift coherently over ~1000 blocks. All
+    # operands stay (1, 1)-shaped: Mosaic rejects scalar VMEM stores.
+    s = out_ref[0:1, 0:1]
+    comp = out_ref[0:1, 1:2]
     y = part - comp
     t = s + y
-    out_ref[0, 0] = t
-    out_ref[0, 1] = (t - s) - y
+    out_ref[0:1, 0:1] = t
+    out_ref[0:1, 1:2] = (t - s) - y
 
 
 @functools.partial(
@@ -267,9 +268,11 @@ def pairwise_potential_pallas(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            # (8, 128): Mosaic requires sublane-dim blocks divisible by
+            # 8 — rows 1..7 of each block stay zero.
+            (8, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((grid[0], 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((grid[0] * 8, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),

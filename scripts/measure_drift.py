@@ -48,8 +48,16 @@ def main():
         dt=1e-3,
     )
     force_fn = make_force_fn(config)
+    # Hénon-style normalization: TOTAL mass 1 (per-particle 1/N). With
+    # unit masses the bench scene has GM = 1e6 and core velocities ~300
+    # units/s — dt=1e-3 moves particles a full cell per step and the
+    # integration explodes (measured: E flips sign within 250 steps).
+    # With M_tot = 1 the crossing time is ~30 time units, so 10k steps at
+    # dt=1e-3 is a resolved, physically meaningful fidelity window.
     state = init_spherical(
-        jax.random.PRNGKey(42), N, SphericalDistParams(radius=10.0)
+        jax.random.PRNGKey(42),
+        N,
+        SphericalDistParams(radius=10.0, min_mass=1.0 / N, max_mass=1.0 / N),
     )
     state = jax.jit(lambda s: initialize_forces(s, force_fn))(state)
 
