@@ -187,8 +187,11 @@ def _sorted_finest_moments(grid, ids_sorted, lo, cell, d: int, order: int):
         jnp.maximum(ends - (starts // 128) * 128 - w_win, 0)
     )
     packed_cm = monotone_segment_sum(
-        vals, ids_sorted, starts, num_dest=nc, r=r_chunk, w=w_win
+        vals, ids_sorted, starts, num_dest=nc, r=r_chunk, w=w_win,
+        interpret=jax.default_backend() != "tpu",
     )
+    # (measured: an eye-matmul "transpose" here regressed — XLA's own
+    # transpose wins for this shape)
     return packed_cm.T.reshape(d, d, d, vals.shape[1]), miss
 
 
@@ -825,10 +828,10 @@ def barnes_hut_forces(
     import os
 
     ws = theta_to_ws(theta, order=multipole_order)
-    if (
-        near_engine == "tiles"
-        and jax.default_backend() == "tpu"
-        and os.environ.get("NBODY_PALLAS_NEAR") != "0"
+    _flag = os.environ.get("NBODY_PALLAS_NEAR")
+    if near_engine == "tiles" and (
+        (jax.default_backend() == "tpu" and _flag != "0")
+        or _flag == "force"
     ):
         # TPU fast path: ONE cell sort feeds both the pyramid moments
         # (MXU segment sum, lax.cond fallback to the exact scatter when

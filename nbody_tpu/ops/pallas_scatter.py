@@ -183,14 +183,14 @@ def monotone_segment_sum(
     dest_f = jnp.where(
         dest >= (1 << 24), SENTINEL, dest.astype(jnp.float32)
     )
-    src = jnp.concatenate(
-        [
-            vals,
-            jnp.zeros((n, 15 - c_in), jnp.float32),
-            dest_f[:, None],
-        ],
-        axis=-1,
-    ).T  # (16, N)
+    # Stack channel rows (no concat().T — that's a full XLA transpose).
+    zrow = jnp.zeros((n,), jnp.float32)
+    src = jnp.stack(
+        [vals[:, i] for i in range(c_in)]
+        + [zrow] * (15 - c_in)
+        + [dest_f],
+        axis=0,
+    )  # (16, N)
     src = jnp.pad(src, ((0, 0), (0, cols_pad - n)))
     src = src.at[15, n:].set(SENTINEL)
 
@@ -252,15 +252,21 @@ def monotone_scatter_tiles(
     dest_f = jnp.where(
         dest >= (1 << 24), SENTINEL, dest.astype(jnp.float32)
     )
-    src = jnp.concatenate(
+    # Build channel-major by STACKING rows — a concat(...).T would cost
+    # an XLA transpose pass over the whole array (~1.7 GB/s measured).
+    src = jnp.stack(
         [
-            psort,
-            dest_f[:, None],
-            jnp.ones((n, 1), jnp.float32),
-            jnp.zeros((n, 2), jnp.float32),
+            psort[:, 0],
+            psort[:, 1],
+            psort[:, 2],
+            psort[:, 3],
+            dest_f,
+            jnp.ones((n,), jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+            jnp.zeros((n,), jnp.float32),
         ],
-        axis=-1,
-    ).T  # (8, N)
+        axis=0,
+    )  # (8, N)
     # padded tail: dest stays 0-filled — but dest 0 is real; overwrite
     # the dest channel's pad with the sentinel.
     src = jnp.pad(src, ((0, 0), (0, cols_pad - n)))

@@ -105,7 +105,11 @@ def _near_kernel(tiles_hbm, acc_ref, *, k, ws, zp, c, m, eps, zero_guard):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "d", "ws", "eps", "chunk", "interpret")
+    jax.jit,
+    static_argnames=(
+        "k", "d", "ws", "eps", "chunk", "pre_transposed", "raw_output",
+        "interpret",
+    ),
 )
 def tile_sweep_pallas(
     tiles_t: jax.Array,
@@ -115,12 +119,17 @@ def tile_sweep_pallas(
     ws: int,
     eps: float,
     chunk: int = 512,
+    pre_transposed: bool = False,
+    raw_output: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """(K, 4, D, D, D) slot tensor → (K, 3, D, D, D) per-slot accelerations.
 
     Input layout matches tile_sweep.py's transposed tiles (slots leading,
-    cells on lanes). Returns un-scaled accelerations (multiply by G).
+    cells on lanes); with ``pre_transposed=True`` the input is already in
+    the kernel's plane-major (D, 4, K, D, D) layout (the producer emits
+    it via an MXU eye-einsum — XLA's native 5-D transpose of these 67 MB
+    runs at ~1.7 GB/s). Returns un-scaled accelerations (multiply by G).
     """
     w1 = 2 * ws + 1
     yp = d + 2 * ws
@@ -133,7 +142,10 @@ def tile_sweep_pallas(
     lpad = m + nc * c + m
 
     # (K, 4, D, D, D) → (x, ch, slot, y, z) → (D+2ws, 4, K, Lp)
-    t = tiles_t.transpose(2, 1, 0, 3, 4)  # (D_x, 4, K, D_y, D_z)
+    if pre_transposed:
+        t = tiles_t  # already (D_x, 4, K, D_y, D_z)
+    else:
+        t = tiles_t.transpose(2, 1, 0, 3, 4)  # (D_x, 4, K, D_y, D_z)
     t = jnp.pad(
         t, [(ws, ws), (0, 0), (0, 0), (ws, ws), (ws, ws)]
     )  # (D+2ws, 4, K, Yp, Zp)
@@ -165,6 +177,11 @@ def tile_sweep_pallas(
         ),
         interpret=interpret,
     )(t)
+    if raw_output:
+        # Native (D, 3, K, NC·C) layout — lane (y+ws)·zp + (z+ws) for
+        # real cell (y, z). Consumers gather per-channel directly and
+        # skip TWO XLA 5-D transposes (~1.7 GB/s each on 150-200 MB).
+        return out
     # (D, 3, K, NC·C) → (K, 3, D, D, D): strip chunk padding + halo pads.
     out = out[:, :, :, :l].reshape(d, 3, k, yp, zp)
     out = out[:, :, :, ws:ws + d, ws:ws + d]

@@ -65,10 +65,11 @@ def tile_near_field(
 
     import os
 
-    if (
-        jax.default_backend() == "tpu"
-        and os.environ.get("NBODY_PALLAS_NEAR") != "0"
-    ):
+    _flag = os.environ.get("NBODY_PALLAS_NEAR")
+    _interp = jax.default_backend() != "tpu"
+    if (jax.default_backend() == "tpu" and _flag != "0") or _flag == "force":
+        # ("force" runs the same pipeline in interpret mode on CPU so the
+        # suite can equivalence-test the TPU-only path hermetically.)
         # Full-Pallas tile path — the TPU default (NBODY_PALLAS_NEAR=0
         # opts out for A/B profiling):
         #   build: MXU one-hot monotone scatter (pallas_scatter.py) —
@@ -105,10 +106,17 @@ def tile_near_field(
 
         tiles_cm = monotone_scatter_tiles(
             grid.psort, dest, starts, lo, cell,
-            k=k, d=d, r=r_chunk, w=w_win,
+            k=k, d=d, r=r_chunk, w=w_win, interpret=_interp,
         )  # (4, d³·k) channel-major
+        # NOTE (measured, r2): replacing this XLA transpose with an MXU
+        # eye-einsum relayout + raw-layout pickup REGRESSED the full BH
+        # step 117 → 130 ms (XLA canonicalizes the einsum back through
+        # transposes). The dormant pre_transposed/raw_output kernel
+        # options remain for future layout experiments.
         tiles_t = tiles_cm.reshape(4, d, d, d, k).transpose(4, 0, 1, 2, 3)
-        acc_slots = tile_sweep_pallas(tiles_t, k=k, d=d, ws=ws, eps=eps)
+        acc_slots = tile_sweep_pallas(
+            tiles_t, k=k, d=d, ws=ws, eps=eps, interpret=_interp
+        )
         acc = _slot_pickup(acc_slots, grid, ids_sorted, rank_sorted, k, n, G)
         return acc, overflow
 

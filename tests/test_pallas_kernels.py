@@ -192,3 +192,29 @@ def test_monotone_segment_sum_matches_scatter_add():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
     )
+
+
+def test_fused_tile_path_matches_xla(monkeypatch):
+    """The full TPU tile pipeline (MXU scatter → eye-einsum relayout →
+    sweep → raw-layout pickup) ≡ the XLA path, end-to-end, via
+    NBODY_PALLAS_NEAR=force (interpret mode on CPU)."""
+    from nbody_tpu.ops.barnes_hut import barnes_hut_forces
+
+    from nbody_tpu.models.distributions import init_spherical
+    from nbody_tpu.types import SphericalDistParams
+
+    s = init_spherical(
+        jax.random.PRNGKey(3), 1200, SphericalDistParams(radius=4.0)
+    )
+    kw = dict(levels=3, near_engine="tiles", near_k=8, multipole_order=2)
+
+    monkeypatch.delenv("NBODY_PALLAS_NEAR", raising=False)
+    want = barnes_hut_forces(s.pos, s.mass, 1.0, 0.1, 0.5, **kw)
+
+    monkeypatch.setenv("NBODY_PALLAS_NEAR", "force")
+    got = barnes_hut_forces.__wrapped__(s.pos, s.mass, 1.0, 0.1, 0.5, **kw)
+
+    scale = float(jnp.max(jnp.abs(want)))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5 * scale
+    )
