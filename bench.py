@@ -85,18 +85,22 @@ def main():
     state.block_until_ready()
 
     # enough steps that the ~250ms tunnel dispatch latency amortizes away
-    steps = 200 if n <= 10_000 else (20 if n <= 100_000 else 5)
+    # (at 1M, 5 steps measured 4.0 steps/s for a true 8.5 — the fixed
+    # dispatch+readback overhead needs ≥3 s of device work to vanish)
+    steps = 200 if n <= 10_000 else (50 if n <= 100_000 else 30)
     multi = jax.jit(make_multi_step(force_fn, config.dt, steps))
     # warm-up compile; the scalar readback defeats async dispatch layers
     # that under-report on block_until_ready (observed through the axon
     # relay), so timings below include a real device round-trip.
     out = multi(state)
     float(out.time)
-    # timed
-    t0 = time.perf_counter()
-    out = multi(out)
-    checksum = float(jnp.sum(out.pos[0]))
-    wall = time.perf_counter() - t0
+    # timed: best of 3 (first calls can still carry executable-load tails)
+    wall = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = multi(out)
+        checksum = float(jnp.sum(out.pos[0]))
+        wall = min(wall, time.perf_counter() - t0)
     assert checksum == checksum  # not NaN
     assert bool(jnp.isfinite(out.pos).all())
 
