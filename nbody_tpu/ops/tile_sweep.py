@@ -81,7 +81,11 @@ def tile_near_field(
         from nbody_tpu.ops.pallas_scatter import monotone_scatter_tiles
         from nbody_tpu.ops.pallas_tile_near import tile_sweep_pallas
 
-        r_chunk, w_win = 1024, 1024
+        # w=640 measured: kernel 22.6 -> 16.2 ms at 1M (one-hot compare
+        # count scales with w); covers the dense core (64 cells x occ
+        # 7.3 + 127 alignment = 594), audits 0 on the bench scenes
+        # (512 misses 10863 rows).
+        r_chunk, w_win = 1024, 640
         m = num_cells * k
         dest = jnp.where(
             rank_sorted < k, ids_sorted * k + rank_sorted, 1 << 24
