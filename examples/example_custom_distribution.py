@@ -17,7 +17,8 @@ from nbody_tpu.types import ForceMethod, SimulationConfig
 
 
 def main():
-    n = 20_000
+    fast = os.environ.get("NBODY_EXAMPLE_FAST") == "1"  # CI smoke
+    n = 2_000 if fast else 20_000
     state = spiral_galaxy(
         jax.random.PRNGKey(1), n, radius=10.0, arms=3, bulge_fraction=0.25
     )
@@ -31,7 +32,7 @@ def main():
     state = initialize_forces(state, force_fn)
     step = jax.jit(make_verlet_step(force_fn, config.dt))
 
-    for frame in range(10):
+    for frame in range(2 if fast else 10):
         for _ in range(20):
             state = step(state)
         pos = np.asarray(state.pos)

@@ -24,8 +24,9 @@ from nbody_tpu.types import ForceMethod, RenderConfig, SimulationConfig
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
-    frames = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    fast = os.environ.get("NBODY_EXAMPLE_FAST") == "1"  # CI smoke
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else (2_000 if fast else 50_000)
+    frames = int(sys.argv[2]) if len(sys.argv) > 2 else (2 if fast else 30)
     out_dir = os.path.join(tempfile.gettempdir(), "galaxy_collision")
     os.makedirs(out_dir, exist_ok=True)
 
