@@ -321,15 +321,15 @@ def app_cli_usage() -> str:
     return """Usage: nbody-tpu [particle_count] [options]
 
 Simulation options:
-  --particles N          Set particle count
-  --method NAME          direct-n2 | barnes-hut | spatial-hash
+  --particles N          Number of particles to simulate
+  --method NAME          Force algorithm: direct-n2 | barnes-hut | spatial-hash
   --init NAME            uniform | spherical | disk | plummer
-  --dt VALUE             Set integration time step
-  --gravity VALUE        Set gravitational constant
-  --softening VALUE      Set softening parameter
-  --theta VALUE          Set Barnes-Hut theta
-  --cell-size VALUE      Set spatial hash cell size
-  --cutoff VALUE         Set spatial hash cutoff radius
+  --dt VALUE             Verlet integration time step
+  --gravity VALUE        Gravitational constant G
+  --softening VALUE      Plummer softening length
+  --theta VALUE          Barnes-Hut opening angle
+  --cell-size VALUE      Spatial-hash grid cell edge
+  --cutoff VALUE         Spatial-hash interaction cutoff
   --seed N               Set initializer RNG seed
   --steps N              Step count for interactive/render mode
 
@@ -344,24 +344,24 @@ Distribution parameters (scoped to --init; defaults per distribution):
   --max-bounds X,Y,Z     Uniform box upper corner
   --total-mass VALUE     Plummer total mass
   --devices N            Shard particles over N devices (mesh)
-  --benchmark            Run a non-interactive benchmark and exit
-  --benchmark-steps N    Set benchmark update steps
-  --benchmark-output P   Write benchmark JSON to path P
+  --benchmark            Headless timed run; emits a JSON record
+  --benchmark-steps N    Steps per benchmark run
+  --benchmark-output P   Benchmark JSON destination file
 
 Data export/import:
-  --export PATH          Export particle state to file
+  --export PATH          Write the particle state to PATH
   --export-format FMT    Export format: checkpoint (default) | hdf5
-  --import PATH          Import particle state from file
+  --import PATH          Load a particle state from PATH
 
 Rendering (host-side point renderer):
   --render               Render frames while stepping
   --render-output DIR    Write PNG frames to DIR
 
 Diagnostics:
-  --list-algorithms      List available force methods and exit
-  --diagnostics          Output diagnostic information
+  --list-algorithms      Print the force methods and exit
+  --diagnostics          Print device/config diagnostics
   --debug-nans           Raise on the first NaN produced on device
-  --help                 Show this message
+  --help                 Print this usage text
 """
 
 
