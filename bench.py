@@ -39,7 +39,9 @@ def main():
     )
     default_n = 100_000 if small else 1_000_000
     n = int(os.environ.get("NBODY_BENCH_N", default_n))
-    baseline = {  # reference steps/s on RTX 3080 (BASELINE.md)
+    # Reference steps/s on RTX 3080 (BASELINE.md). N outside the published
+    # table has no baseline → vs_baseline is emitted as null, not a crash.
+    baseline = {
         (ForceMethod.BARNES_HUT, 1_000_000): 25.0,
         (ForceMethod.BARNES_HUT, 100_000): 60.0,
         (ForceMethod.BARNES_HUT, 10_000): 120.0,
@@ -49,7 +51,7 @@ def main():
         (ForceMethod.DIRECT_N2, 1_000_000): 1.0,
         (ForceMethod.DIRECT_N2, 100_000): 10.0,
         (ForceMethod.DIRECT_N2, 10_000): 60.0,
-    }[(method, n)]
+    }.get((method, n))
 
     config = SimulationConfig(
         particle_count=n,
@@ -111,7 +113,11 @@ def main():
                 "metric": f"steps_per_sec_{n // 1000}k_{method.cli_name}",
                 "value": round(steps_per_sec, 3),
                 "unit": "steps/s",
-                "vs_baseline": round(steps_per_sec / baseline, 4),
+                "vs_baseline": (
+                    round(steps_per_sec / baseline, 4)
+                    if baseline is not None
+                    else None
+                ),
             }
         )
     )

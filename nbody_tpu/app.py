@@ -192,16 +192,21 @@ class Application:
         o = self.options
         self._initialize_system()
 
+        from nbody_tpu.render.ui import UIPanel
+
+        # The panel state machine always runs (it is pure flag logic, no
+        # GL): keyboard controls SET its flags, the frame loop CONSUMES
+        # them — the same producer/consumer handshake the reference wires
+        # between ImGui buttons and the main loop (main.cpp:195-216).
+        panel = UIPanel()
         renderer = None
-        panel = None
         if o.render:
-            from nbody_tpu.render import Camera, PointRenderer, UIPanel
+            from nbody_tpu.render import Camera, PointRenderer
             from nbody_tpu.render.stream import PointStream
 
             # 3/4 view: disks and spheres both read well
             camera = Camera(distance=45.0, azimuth=0.7, elevation=0.75)
             renderer = PointRenderer(camera=camera)
-            panel = UIPanel()
             stream = PointStream(self.system)
 
         steps = o.steps if o.steps > 0 else 1000
@@ -211,7 +216,8 @@ class Application:
         color_modes = list(__import__("nbody_tpu.types", fromlist=["ColorMode"]).ColorMode)
         color_idx = 0
         for frame in range(steps):
-            # keyboard controls (reference: main.cpp:265-305)
+            # keyboard controls (reference: main.cpp:265-305) — routed
+            # through the panel flags where the reference has buttons
             if interactive_tty:
                 for key in _poll_keys():
                     action = key_to_action(key)
@@ -221,35 +227,50 @@ class Application:
                         print(json.dumps({"steps": frame, "quit": True}))
                         return 0
                     if action == "toggle_pause":
-                        if self.system.is_paused:
-                            self.system.resume()
-                        else:
-                            self.system.pause()
+                        panel.click_pause()
                     elif action == "reset":
-                        self.system.reset()
+                        panel.click_reset()
                     elif action and action.startswith("method:"):
                         from nbody_tpu.types import ForceMethod
 
-                        self.system.set_force_method(
+                        panel.select_method(
                             ForceMethod.parse(action.split(":", 1)[1])
                         )
                     elif action == "cycle_color" and renderer is not None:
                         color_idx = (color_idx + 1) % len(color_modes)
                         renderer.set_color_mode(color_modes[color_idx])
-                    elif action == "toggle_panel" and panel is not None:
+                    elif action == "toggle_panel":
                         panel.toggle_visibility()
+            # consume the panel's flag handshake (reference: main.cpp
+            # polls uiPanel state before stepping, main.cpp:195-216)
+            if panel.consume_pause_clicked():
+                if self.system.is_paused:
+                    self.system.resume()
+                else:
+                    self.system.pause()
+            if panel.consume_reset_clicked():
+                self.system.reset()
+            new_method = panel.consume_method_change()
+            if new_method is not None:
+                self.system.set_force_method(new_method)
             self.system.update()
             fps_frames += 1
             if renderer is not None:
-                snap = stream.latest()
-                img = renderer.render(snap.positions, snap.velocities)
-                if o.render_output:
-                    import os
+                # Pipelined readback: resolve LAST frame's async copy
+                # (it overlapped with this frame's update), then kick off
+                # this frame's — the double buffer actually overlaps
+                # device compute instead of syncing every frame.
+                snap = stream.latest() if frame > 0 else None
+                stream.request()
+                if snap is not None:
+                    img = renderer.render(snap.positions, snap.velocities)
+                    if o.render_output:
+                        import os
 
-                    os.makedirs(o.render_output, exist_ok=True)
-                    renderer.save_png(
-                        img, f"{o.render_output}/frame_{frame:05d}.png"
-                    )
+                        os.makedirs(o.render_output, exist_ok=True)
+                        renderer.save_png(
+                            img, f"{o.render_output}/frame_{snap.frame_id:05d}.png"
+                        )
             now = time.perf_counter()
             if now - fps_t0 >= 1.0:  # per-second stats (main.cpp:161-178)
                 self.system.block_until_ready()

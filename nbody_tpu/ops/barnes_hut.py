@@ -158,7 +158,9 @@ def scatter_finest_moments(
     )
 
 
-def _sorted_finest_moments(grid, ids_sorted, lo, cell, d: int, order: int):
+def _sorted_finest_moments(
+    grid, ids_sorted, lo, cell, d: int, order: int, *, interpret: bool = False
+):
     """Finest-level moments from CELL-SORTED rows via the MXU segment-sum
     (ops/pallas_scatter.py) — the TPU fast path: the unsorted
     ``.at[cid].add`` scatter costs ~50 ms at 1M rows, the segment sum a
@@ -188,7 +190,7 @@ def _sorted_finest_moments(grid, ids_sorted, lo, cell, d: int, order: int):
     )
     packed_cm = monotone_segment_sum(
         vals, ids_sorted, starts, num_dest=nc, r=r_chunk, w=w_win,
-        interpret=jax.default_backend() != "tpu",
+        interpret=interpret,
     )
     # (measured: an eye-matmul "transpose" here regressed — XLA's own
     # transpose wins for this shape)
@@ -751,6 +753,7 @@ def _near_field(
     levels: int,
     window: int,
     block_size: int = 256,
+    impl: str = "xla",
 ):
     """Exact pairwise forces within the (2ws+1)³ finest-cell neighborhood,
     via the gather-free sorted-window sweep (nbody_tpu/ops/sorted_window.py).
@@ -765,21 +768,16 @@ def _near_field(
     d = 1 << levels
     coords = jnp.clip(((pos - lo) / cell).astype(jnp.int32), 0, d - 1)
     grid = build_sorted_grid(pos, mass, coords, d)
-    eps2 = eps * eps
-
-    def pair_weight(r2_raw, mj):
-        inv = jax.lax.rsqrt(r2_raw + eps2)
-        return mj * inv * inv * inv
 
     acc, overflow = window_sweep(
         grid,
         d=d,
         xy_offsets=xy_ball(ws),
         z_halfwidth=ws,
-        pair_weight=pair_weight,
         window=window,
         block_size=block_size,
         eps=eps,
+        impl=impl,
     )
     return G * acc, overflow, coords
 
@@ -787,6 +785,61 @@ def _near_field(
 # ---------------------------------------------------------------------------
 # Public entry points
 # ---------------------------------------------------------------------------
+
+
+def resolve_impl(env_name: str) -> str:
+    """Resolve a kernel-implementation switch OUTSIDE jit.
+
+    Returns "pallas" (TPU hardware kernels), "pallas_interpret" (the same
+    pipeline in Pallas interpret mode — hermetic CPU testing of the
+    TPU-only path), or "xla". Env semantics: ``<env_name>=0`` opts out for
+    A/B profiling, ``force`` runs interpret mode off-TPU. Must be called
+    from UNTRACED code (factories, public wrappers): an env read inside a
+    jitted function binds at trace time and silently ignores later flips.
+    """
+    import os
+
+    flag = os.environ.get(env_name)
+    if flag == "0":
+        return "xla"
+    if flag == "force":
+        return "pallas" if jax.default_backend() == "tpu" else "pallas_interpret"
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def barnes_hut_forces(
+    pos,
+    mass,
+    G: float = 1.0,
+    softening: float = 0.1,
+    theta: float = 0.5,
+    *,
+    levels: int = 6,
+    window: int = 2048,
+    near_engine: str = "tiles",
+    near_k: int = 16,
+    multipole_order: int = 2,
+    near_impl: str | None = None,
+):
+    """Full BH acceleration: pyramid far field + exact near field.
+
+    near_engine: "tiles" (dense cell tiles — optimal at the low per-cell
+    occupancy the BH finest level is sized for) or "window" (sorted-window
+    sweep — for unusually dense scenes; raise ``window`` until its overflow
+    reads 0). ``near_k`` is the tiles-engine per-cell slot cap.
+    multipole_order: 2 = monopole+quadrupole sources at ws = ceil(1/(2θ))
+    (the default: same accuracy as monopole ws = ceil(1/θ) with a
+    (2ws+1)³-fold smaller near field); 1 = classic monopole-only.
+    near_impl: "pallas" / "pallas_interpret" / "xla" kernel selection;
+    None resolves NBODY_PALLAS_NEAR + backend here, outside jit.
+    """
+    if near_impl is None:
+        near_impl = resolve_impl("NBODY_PALLAS_NEAR")
+    return _barnes_hut_forces(
+        pos, mass, G, softening, theta,
+        levels=levels, window=window, near_engine=near_engine,
+        near_k=near_k, multipole_order=multipole_order, near_impl=near_impl,
+    )
 
 
 @functools.partial(
@@ -800,38 +853,32 @@ def _near_field(
         "near_engine",
         "near_k",
         "multipole_order",
+        "near_impl",
     ),
 )
-def barnes_hut_forces(
+def _barnes_hut_forces(
     pos,
     mass,
-    G: float = 1.0,
-    softening: float = 0.1,
-    theta: float = 0.5,
+    G: float,
+    softening: float,
+    theta: float,
     *,
-    levels: int = 6,
-    window: int = 2048,
-    near_engine: str = "tiles",
-    near_k: int = 16,
-    multipole_order: int = 2,
+    levels: int,
+    window: int,
+    near_engine: str,
+    near_k: int,
+    multipole_order: int,
+    near_impl: str,
 ):
-    """Full BH acceleration: pyramid far field + exact near field.
-
-    near_engine: "tiles" (dense cell tiles — optimal at the low per-cell
-    occupancy the BH finest level is sized for) or "window" (sorted-window
-    sweep — for unusually dense scenes; raise ``window`` until its overflow
-    reads 0). ``near_k`` is the tiles-engine per-cell slot cap.
-    multipole_order: 2 = monopole+quadrupole sources at ws = ceil(1/(2θ))
-    (the default: same accuracy as monopole ws = ceil(1/θ) with a
-    (2ws+1)³-fold smaller near field); 1 = classic monopole-only.
-    """
-    import os
-
     ws = theta_to_ws(theta, order=multipole_order)
-    _flag = os.environ.get("NBODY_PALLAS_NEAR")
-    if near_engine == "tiles" and (
-        (jax.default_backend() == "tpu" and _flag != "0")
-        or _flag == "force"
+    d_fine = 1 << levels
+    # The one-hot kernels carry dest ids in f32: exact only below 2^24
+    # (pallas_scatter.py SENTINEL contract) — static guard, never silent.
+    fits_f32_ids = d_fine**3 * max(near_k, 1) < (1 << 24)
+    if (
+        near_engine == "tiles"
+        and near_impl in ("pallas", "pallas_interpret")
+        and fits_f32_ids
     ):
         # TPU fast path: ONE cell sort feeds both the pyramid moments
         # (MXU segment sum, lax.cond fallback to the exact scatter when
@@ -849,7 +896,8 @@ def barnes_hut_forces(
             grid.csort[:, 0] * d + grid.csort[:, 1]
         ) * d + grid.csort[:, 2]
         packed_fast, miss = _sorted_finest_moments(
-            grid, ids_sorted, lo, cell, d, multipole_order
+            grid, ids_sorted, lo, cell, d, multipole_order,
+            interpret=near_impl == "pallas_interpret",
         )
         packed = jax.lax.cond(
             miss == 0,
@@ -863,6 +911,7 @@ def barnes_hut_forces(
         a_near, _over = tile_near_field(
             pos, mass, coords, lo, cell,
             d=d, ws=ws, k=near_k, G=G, eps=softening, grid=grid,
+            impl=near_impl,
         )
         centers = lo + (coords.astype(pos.dtype) + 0.5) * cell
         parts = [a_far, j_far] + ([h_far] if h_far is not None else [])
@@ -897,10 +946,12 @@ def barnes_hut_forces(
             k=near_k,
             G=G,
             eps=softening,
+            impl="xla",
         )
     else:
         a_near, _over, coords = _near_field(
-            pos, mass, pyr.lo, pyr.cell, G, softening, ws, levels, window
+            pos, mass, pyr.lo, pyr.cell, G, softening, ws, levels, window,
+            impl=near_impl,
         )
     # Evaluate the local expansion at the particle:
     # a(x) = A[c] + J[c]·δ (+ ½(H[c]·δ)·δ) — ONE packed gather per particle
@@ -920,13 +971,19 @@ def barnes_hut_forces(
     return a_near + pick
 
 
-def make_barnes_hut_forces(config: SimulationConfig):
-    """Strategy factory (reference: BarnesHutCalculator,
-    force_barnes_hut.cu:522-533)."""
-    G = config.G
-    eps = config.softening
-    theta = config.barnes_hut_theta
+def bh_engine_params(config: SimulationConfig) -> dict:
+    """Engine selection for a config — the SINGLE source of truth shared by
+    ``make_barnes_hut_forces`` and ``ParticleSystem.audit_short_range``, so
+    the audit always measures the configuration production actually runs
+    (an audit of a different engine/k/ws is not a contract).
+
+    Returns a dict with levels, multipole_order, ws, near_engine, near_k,
+    and window (the sorted-window capacity used when near_engine is
+    "window").
+    """
     levels = config.bh_max_level
+    multipole_order = 2
+    ws = theta_to_ws(config.barnes_hut_theta, order=multipole_order)
     window = max(2048, 8 * config.hash_max_per_cell)
     # Expected occupancy picks the near-field engine: dense tiles when cells
     # are sparsely filled, sorted windows otherwise.
@@ -940,18 +997,41 @@ def make_barnes_hut_forces(config: SimulationConfig):
     else:
         near_engine = "window"
         near_k = 16
+    return {
+        "levels": levels,
+        "multipole_order": multipole_order,
+        "ws": ws,
+        "near_engine": near_engine,
+        "near_k": near_k,
+        "window": window,
+    }
+
+
+def make_barnes_hut_forces(config: SimulationConfig):
+    """Strategy factory (reference: BarnesHutCalculator,
+    force_barnes_hut.cu:522-533)."""
+    G = config.G
+    eps = config.softening
+    theta = config.barnes_hut_theta
+    p = bh_engine_params(config)
+    # Kernel impl resolved HERE, at factory time, outside any trace —
+    # flipping NBODY_PALLAS_NEAR later requires rebuilding the strategy
+    # (facade semantics, like every other compile-time constant).
+    near_impl = resolve_impl("NBODY_PALLAS_NEAR")
 
     def force_fn(pos, mass):
-        return barnes_hut_forces(
+        return _barnes_hut_forces(
             pos,
             mass,
             G,
             eps,
             theta,
-            levels=levels,
-            window=window,
-            near_engine=near_engine,
-            near_k=near_k,
+            levels=p["levels"],
+            window=p["window"],
+            near_engine=p["near_engine"],
+            near_k=p["near_k"],
+            multipole_order=p["multipole_order"],
+            near_impl=near_impl,
         )
 
     return force_fn

@@ -1,9 +1,12 @@
-"""Pallas TPU bitonic argsort — the engine behind every cell-sorted build.
+"""Pallas TPU bitonic argsort — experimental/benchmark kernel.
 
-Motivation (measured, TPU v5e through the axon tunnel): XLA's `argsort` of
-1M int32 keys costs ~90 ms — more than the ENTIRE per-step budget the 1M
-Barnes-Hut target allows, and it sits on the hot path of both short-range
-engines (ops/sorted_window.py) and the tile near field (ops/tile_sweep.py).
+STATUS: NOT on the library hot path. The r1 motivation (XLA argsort
+"~90 ms at 1M") turned out to be a benchmarking artifact — with a proper
+warm-up readback the clean number is ~4 ms (CLAUDE.md, r2 re-measurement),
+so `build_sorted_grid` keeps `jnp.argsort` and this kernel remains as a
+measured prototype of dense compare-exchange sorting on the VPU (useful if
+a future fused build wants the sort INSIDE a kernel pipeline).
+
 The reference pays ~1 ms for the same step on an RTX 3080 via Thrust's
 radix sort (reference: src/cuda/force_barnes_hut.cu:276-280 and the
 counting-sort pipeline in force_spatial_hash.cu:52-80). TPUs have no

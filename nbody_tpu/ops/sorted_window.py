@@ -97,34 +97,48 @@ def window_sweep(
     d: int,
     xy_offsets: Tuple[Tuple[int, int], ...],
     z_halfwidth: int,
-    pair_weight: Callable[[jax.Array, jax.Array], jax.Array],
+    pair_weight: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
     window: int = 1024,
     block_size: int = 256,
     eps: float | None = None,
     cutoff2: float | None = None,
+    impl: str | None = None,
 ):
     """Σ_j w(r²_raw, m_j)·(x_j − x_i) over the neighbor windows.
 
     Returns (acc (N, 3) in ORIGINAL particle order — un-scaled by G,
-    overflow count). ``pair_weight(r2_raw, m_j)`` runs on (B, W) tiles;
-    self/coincident pairs (r2_raw == 0) are masked by the engine.
+    overflow count). Two mutually exclusive kernel specs:
 
-    When ``eps`` is given (with ``cutoff2`` for the hash predicate) the
-    TPU path runs the VMEM-resident Pallas kernel
-    (ops/pallas_window_sweep.py) — same windows, same validity predicate,
-    measured 207 vs 318 ms for the 1M hash step; ``pair_weight`` is only
-    used by the XLA path. NBODY_PALLAS_WINDOW=0 opts out for A/B runs.
+      * ``eps`` (+ optional ``cutoff2``) — the softened-gravity weight
+        m_j·(r²+ε²)^{-3/2}, with the hash cutoff predicate on the RAW r²
+        when ``cutoff2`` is given. Eligible for the VMEM-resident Pallas
+        kernel (ops/pallas_window_sweep.py — measured 207 vs 318 ms for
+        the 1M hash step).
+      * ``pair_weight(r2_raw, m_j)`` — arbitrary weight closure on (B, W)
+        tiles; XLA path only.
+
+    Passing both raises: the Pallas kernel hardcodes the gravity law, so a
+    custom closure alongside ``eps`` would be silently ignored.
+    Self/coincident pairs (r2_raw == 0) are masked by the engine either way.
+
+    ``impl`` ("pallas"/"pallas_interpret"/"xla"): None resolves
+    NBODY_PALLAS_WINDOW + backend at call time — callers that trace this
+    inside jit must resolve it OUTSIDE the trace and pass it explicitly.
 
     Not jitted itself — callers trace it inside their own jitted force
     function (all arguments after ``grid`` must be Python constants there).
     """
-    import os
+    if (eps is None) == (pair_weight is None):
+        raise ValueError(
+            "window_sweep: pass exactly one of eps= (gravity kernel, "
+            "Pallas-eligible) or pair_weight= (custom closure, XLA only)"
+        )
+    if impl is None:
+        from nbody_tpu.ops.barnes_hut import resolve_impl
 
-    if (
-        eps is not None
-        and jax.default_backend() == "tpu"
-        and os.environ.get("NBODY_PALLAS_WINDOW") != "0"
-    ):
+        impl = resolve_impl("NBODY_PALLAS_WINDOW")
+
+    if eps is not None and impl in ("pallas", "pallas_interpret"):
         from nbody_tpu.ops.pallas_window_sweep import window_sweep_pallas
 
         win_starts, overflow = _window_starts(
@@ -135,9 +149,21 @@ def window_sweep(
             grid.psort, grid.csort, win_starts,
             offsets=tuple(xy_offsets), block_size=block_size,
             window=window, z_hw=z_halfwidth, eps=eps, cut2=cutoff2,
+            interpret=impl == "pallas_interpret",
         )
         n = grid.psort.shape[0]
         return unsort_rows(acc_sorted[:n], grid.order), overflow
+
+    if pair_weight is None:
+        eps2 = eps * eps
+        cut2 = cutoff2
+
+        def pair_weight(r2_raw, mj):
+            inv = jax.lax.rsqrt(r2_raw + eps2)
+            w = mj * inv * inv * inv
+            if cut2 is not None:
+                w = jnp.where(r2_raw <= cut2, w, 0.0)
+            return w
 
     n = grid.psort.shape[0]
     num_cells = d * d * d

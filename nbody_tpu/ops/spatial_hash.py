@@ -121,19 +121,6 @@ def build_spatial_grid(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "G",
-        "softening",
-        "cutoff",
-        "cell_size",
-        "cap",
-        "window",
-        "block_size",
-        "return_overflow",
-    ),
-)
 def spatial_hash_forces(
     pos: jax.Array,
     mass: jax.Array,
@@ -146,6 +133,7 @@ def spatial_hash_forces(
     window: int = 2048,
     block_size: int = 256,
     return_overflow: bool = False,
+    impl: str | None = None,
 ) -> jax.Array:
     """Short-range forces with cutoff (reference: force_spatial_hash.cu:83-152).
 
@@ -153,8 +141,49 @@ def spatial_hash_forces(
     nbody_tpu/ops/sorted_window.py): 9 xy-offsets × contiguous z-run
     windows, cutoff tested on the raw squared distance BEFORE softening is
     added, self pairs skipped — the same pair predicate as the reference
-    kernel (force_spatial_hash.cu:120-139).
+    kernel (force_spatial_hash.cu:120-139). ``impl`` is the kernel switch
+    ("pallas"/"pallas_interpret"/"xla"); None resolves NBODY_PALLAS_WINDOW
+    + backend here, outside jit.
     """
+    if impl is None:
+        from nbody_tpu.ops.barnes_hut import resolve_impl
+
+        impl = resolve_impl("NBODY_PALLAS_WINDOW")
+    return _spatial_hash_forces(
+        pos, mass, G, softening,
+        cutoff=cutoff, cell_size=cell_size, cap=cap, window=window,
+        block_size=block_size, return_overflow=return_overflow, impl=impl,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "G",
+        "softening",
+        "cutoff",
+        "cell_size",
+        "cap",
+        "window",
+        "block_size",
+        "return_overflow",
+        "impl",
+    ),
+)
+def _spatial_hash_forces(
+    pos: jax.Array,
+    mass: jax.Array,
+    G: float,
+    softening: float,
+    *,
+    cutoff: float,
+    cell_size: float,
+    cap: int,
+    window: int,
+    block_size: int,
+    return_overflow: bool,
+    impl: str,
+) -> jax.Array:
     from nbody_tpu.ops.sorted_window import (
         build_sorted_grid,
         window_sweep,
@@ -169,23 +198,16 @@ def spatial_hash_forces(
     )
     grid = build_sorted_grid(pos, mass, coords, cap)
 
-    eps2 = softening * softening
-    cut2 = cutoff * cutoff
-
-    def pair_weight(r2_raw, mj):
-        inv_r = jax.lax.rsqrt(r2_raw + eps2)
-        return jnp.where(r2_raw <= cut2, mj * inv_r * inv_r * inv_r, 0.0)
-
     acc, overflow = window_sweep(
         grid,
         d=cap,
         xy_offsets=xy_ball(1),
         z_halfwidth=1,
-        pair_weight=pair_weight,
         window=window,
         block_size=block_size,
         eps=softening,
-        cutoff2=cut2,
+        cutoff2=cutoff * cutoff,
+        impl=impl,
     )
     if return_overflow:
         return G * acc, overflow

@@ -21,6 +21,7 @@ reference's traversal stack cap (force_barnes_hut.cu:166-171).
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import numpy as np
 
@@ -43,13 +44,22 @@ def tile_near_field(
     G: float,
     eps: float,
     grid=None,
+    impl: str | None = None,
 ):
     """Exact near-field acceleration within the (2ws+1)³ cell ball.
 
     Returns (acc (N, 3) in original order, overflow count). Pass a
     prebuilt ``grid`` (build_sorted_grid output for the same coords) to
-    share the sort with the pyramid build.
+    share the sort with the pyramid build. ``impl`` selects the kernel
+    implementation ("pallas" / "pallas_interpret" / "xla"); None resolves
+    NBODY_PALLAS_NEAR + backend at call time — callers that trace this
+    inside jit must resolve it themselves (ops/barnes_hut.resolve_impl)
+    and pass it explicitly, or the env var binds silently at trace time.
     """
+    if impl is None:
+        from nbody_tpu.ops.barnes_hut import resolve_impl
+
+        impl = resolve_impl("NBODY_PALLAS_NEAR")
     n = pos.shape[0]
     if grid is None:
         grid = build_sorted_grid(pos, mass, coords, d)
@@ -63,13 +73,23 @@ def tile_near_field(
     rank_sorted = arange - grid.cell_start[ids_sorted]
     overflow = jnp.sum((rank_sorted >= k).astype(jnp.int32))
 
-    import os
-
-    _flag = os.environ.get("NBODY_PALLAS_NEAR")
-    _interp = jax.default_backend() != "tpu"
-    if (jax.default_backend() == "tpu" and _flag != "0") or _flag == "force":
-        # ("force" runs the same pipeline in interpret mode on CPU so the
-        # suite can equivalence-test the TPU-only path hermetically.)
+    m = num_cells * k
+    # Largest power-of-two chunk ≤ 1024 dividing m (m is a multiple of 512
+    # for any d ≥ 4, k multiple of 8; smaller grids fall back to XLA).
+    r_chunk = math.gcd(m, 1024)
+    pallas_ok = (
+        impl in ("pallas", "pallas_interpret")
+        # output blocks need 128-aligned lanes
+        and r_chunk >= 128
+        # one-hot dest ids ride in f32: exact only below 2^24
+        # (pallas_scatter.SENTINEL contract) — larger grids would DROP
+        # rows silently, so they take the XLA path instead
+        and m < (1 << 24)
+    )
+    if pallas_ok:
+        # ("pallas_interpret" runs the same pipeline in interpret mode on
+        # CPU so the suite can equivalence-test the TPU-only path
+        # hermetically.)
         # Full-Pallas tile path — the TPU default (NBODY_PALLAS_NEAR=0
         # opts out for A/B profiling):
         #   build: MXU one-hot monotone scatter (pallas_scatter.py) —
@@ -81,12 +101,14 @@ def tile_near_field(
         from nbody_tpu.ops.pallas_scatter import monotone_scatter_tiles
         from nbody_tpu.ops.pallas_tile_near import tile_sweep_pallas
 
+        _interp = impl == "pallas_interpret"
         # w=640 measured: kernel 22.6 -> 16.2 ms at 1M (one-hot compare
         # count scales with w); covers the dense core (64 cells x occ
         # 7.3 + 127 alignment = 594), audits 0 on the bench scenes
-        # (512 misses 10863 rows).
-        r_chunk, w_win = 1024, 640
-        m = num_cells * k
+        # (512 misses 10863 rows). Denser scenes are caught by the
+        # window_miss audit and recovered via the exact-scatter fallback
+        # below (lax.cond) — capacity misses are never silent.
+        w_win = 640
         dest = jnp.where(
             rank_sorted < k, ids_sorted * k + rank_sorted, 1 << 24
         )
@@ -97,21 +119,32 @@ def tile_near_field(
             ((chunk_ar + 1) * r_chunk + k - 1) // k, num_cells
         )
         starts = grid.cell_start[c0]
-        # Rows past a chunk's window are MISSED near-field contributions,
-        # never misplaced ones — audit them like slot overflow. The
-        # kernel aligns starts DOWN to 128 (DMA provability), so the
-        # effective coverage begins at the aligned start.
+        # Rows past a chunk's window would be MISSED near-field sources,
+        # never misplaced ones. The kernel aligns starts DOWN to 128 (DMA
+        # provability), so the effective coverage begins at the aligned
+        # start. Mirroring the pyramid-moments path, a nonzero miss count
+        # falls back to the exact XLA tile build — window capacity is a
+        # performance tune, not a correctness knob.
         window_miss = jnp.sum(
             jnp.maximum(
                 grid.cell_start[c1] - (starts // 128) * 128 - w_win, 0
             )
         )
-        overflow = overflow + window_miss
 
-        tiles_cm = monotone_scatter_tiles(
-            grid.psort, dest, starts, lo, cell,
-            k=k, d=d, r=r_chunk, w=w_win, interpret=_interp,
-        )  # (4, d³·k) channel-major
+        def _pallas_tiles():
+            return monotone_scatter_tiles(
+                grid.psort, dest, starts, lo, cell,
+                k=k, d=d, r=r_chunk, w=w_win, interpret=_interp,
+            )  # (4, d³·k) channel-major
+
+        def _xla_tiles():
+            tiles = _xla_tile_build(
+                grid.psort, ids_sorted, rank_sorted, lo, cell, d=d, k=k,
+                dtype=pos.dtype,
+            )
+            return tiles.reshape(num_cells * k, 4).T
+
+        tiles_cm = jax.lax.cond(window_miss == 0, _pallas_tiles, _xla_tiles)
         # NOTE (measured, r2): replacing this XLA transpose with an MXU
         # eye-einsum relayout + raw-layout pickup REGRESSED the full BH
         # step 117 → 130 ms (XLA canonicalizes the einsum back through
@@ -124,31 +157,9 @@ def tile_near_field(
         acc = _slot_pickup(acc_slots, grid, ids_sorted, rank_sorted, k, n, G)
         return acc, overflow
 
-    # tiles with inert empty slots at cell centers. The scatter uses LINEAR
-    # row indices into (d³·(k+1), 4) — measured ~10× faster on TPU than the
-    # equivalent 4-D index scatter (slot k is the overflow sink, sliced off).
-    cgrid = jnp.stack(
-        jnp.meshgrid(
-            jnp.arange(d), jnp.arange(d), jnp.arange(d), indexing="ij"
-        ),
-        axis=-1,
-    ).astype(pos.dtype)
-    centers = lo + (cgrid + 0.5) * cell  # (d, d, d, 3)
-    rank_capped = jnp.minimum(rank_sorted, k)
-    flat = ids_sorted * (k + 1) + rank_capped
-    init = jnp.concatenate(
-        [
-            jnp.broadcast_to(centers[:, :, :, None, :], (d, d, d, k + 1, 3)),
-            jnp.zeros((d, d, d, k + 1, 1), pos.dtype),
-        ],
-        axis=-1,
-    ).reshape(num_cells * (k + 1), 4)
-    # unique_indices: every (cell, rank<k) pair is distinct; only sink
-    # slots (rank clamped to k) can collide, and those rows are sliced
-    # away below — the hint lets XLA skip its duplicate-serialization.
-    tiles = (
-        init.at[flat].set(grid.psort, unique_indices=True)
-        .reshape(d, d, d, k + 1, 4)[:, :, :, :k, :]
+    tiles = _xla_tile_build(
+        grid.psort, ids_sorted, rank_sorted, lo, cell, d=d, k=k,
+        dtype=pos.dtype,
     )
 
     # Dense sweep over the Chebyshev ball. Layout: slot axis on SUBLANES,
@@ -198,6 +209,44 @@ def tile_near_field(
     acc_slots, _ = jax.lax.scan(body, acc0, offsets_arr)
     acc_slots = acc_slots.reshape(k, 3, d, d, d)
     return _slot_pickup(acc_slots, grid, ids_sorted, rank_sorted, k, n, G), overflow
+
+
+def _xla_tile_build(
+    psort, ids_sorted, rank_sorted, lo, cell, *, d: int, k: int, dtype
+):
+    """Exact XLA (cell, slot) tile build → (d, d, d, k, 4).
+
+    Tiles carry inert empty slots at cell centers. The scatter uses LINEAR
+    row indices into (d³·(k+1), 4) — measured ~10× faster on TPU than the
+    equivalent 4-D index scatter (slot k is the overflow sink, sliced off).
+    Slow (~50 ms at 1M rows: XLA scatters are descriptor-serialized) but
+    windowless — it doubles as the lax.cond fallback when the Pallas
+    build's window audit fires.
+    """
+    num_cells = d * d * d
+    cgrid = jnp.stack(
+        jnp.meshgrid(
+            jnp.arange(d), jnp.arange(d), jnp.arange(d), indexing="ij"
+        ),
+        axis=-1,
+    ).astype(dtype)
+    centers = lo + (cgrid + 0.5) * cell  # (d, d, d, 3)
+    rank_capped = jnp.minimum(rank_sorted, k)
+    flat = ids_sorted * (k + 1) + rank_capped
+    init = jnp.concatenate(
+        [
+            jnp.broadcast_to(centers[:, :, :, None, :], (d, d, d, k + 1, 3)),
+            jnp.zeros((d, d, d, k + 1, 1), dtype),
+        ],
+        axis=-1,
+    ).reshape(num_cells * (k + 1), 4)
+    # unique_indices: every (cell, rank<k) pair is distinct; only sink
+    # slots (rank clamped to k) can collide, and those rows are sliced
+    # away below — the hint lets XLA skip its duplicate-serialization.
+    return (
+        init.at[flat].set(psort, unique_indices=True)
+        .reshape(d, d, d, k + 1, 4)[:, :, :, :k, :]
+    )
 
 
 def _slot_pickup(acc_slots, grid, ids_sorted, rank_sorted, k, n, G):

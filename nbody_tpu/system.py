@@ -293,34 +293,54 @@ class ParticleSystem:
         elif cfg.force_method == ForceMethod.BARNES_HUT:
             import jax.numpy as jnp
 
-            from nbody_tpu.ops.barnes_hut import build_pyramid, theta_to_ws
+            from nbody_tpu.ops.barnes_hut import (
+                _near_field,
+                bh_engine_params,
+                build_pyramid,
+            )
             from nbody_tpu.ops.tile_sweep import tile_near_field
 
-            levels = cfg.bh_max_level
+            # The SAME engine-selection helper the force factory uses —
+            # the audit measures the configuration production runs, never
+            # an independently-recomputed one (see bh_engine_params).
+            p = bh_engine_params(cfg)
+            levels, ws = p["levels"], p["ws"]
             d = 1 << levels
             pyr = build_pyramid(state.pos, state.mass, levels)
-            coords = jnp.clip(
-                ((state.pos - pyr.lo) / pyr.cell).astype(jnp.int32), 0, d - 1
-            )
-            import math
-
-            occ = cfg.particle_count / float(8**levels)
-            raw = occ + 5.0 * math.sqrt(occ + 1.0)
-            near_k = int(min(64, max(8, -(-raw // 8) * 8)))
-            _, overflow = tile_near_field(
-                state.pos,
-                state.mass,
-                coords,
-                pyr.lo,
-                pyr.cell,
-                d=d,
-                ws=theta_to_ws(cfg.barnes_hut_theta),
-                k=near_k,
-                G=cfg.G,
-                eps=cfg.softening,
-            )
+            if p["near_engine"] == "tiles":
+                coords = jnp.clip(
+                    ((state.pos - pyr.lo) / pyr.cell).astype(jnp.int32),
+                    0,
+                    d - 1,
+                )
+                _, overflow = tile_near_field(
+                    state.pos,
+                    state.mass,
+                    coords,
+                    pyr.lo,
+                    pyr.cell,
+                    d=d,
+                    ws=ws,
+                    k=p["near_k"],
+                    G=cfg.G,
+                    eps=cfg.softening,
+                )
+                out["near_k"] = p["near_k"]
+            else:
+                _, overflow, _ = _near_field(
+                    state.pos,
+                    state.mass,
+                    pyr.lo,
+                    pyr.cell,
+                    cfg.G,
+                    cfg.softening,
+                    ws,
+                    levels,
+                    p["window"],
+                )
+                out["window"] = p["window"]
             out["overflow"] = int(overflow)
-            out["near_k"] = near_k
+            out["near_engine"] = p["near_engine"]
         return out
 
     def diagnostics(self) -> dict:

@@ -194,10 +194,10 @@ def test_monotone_segment_sum_matches_scatter_add():
     )
 
 
-def test_fused_tile_path_matches_xla(monkeypatch):
+def test_fused_tile_path_matches_xla():
     """The full TPU tile pipeline (MXU scatter → eye-einsum relayout →
-    sweep → raw-layout pickup) ≡ the XLA path, end-to-end, via
-    NBODY_PALLAS_NEAR=force (interpret mode on CPU)."""
+    sweep → raw-layout pickup) ≡ the XLA path, end-to-end, via the
+    static near_impl switch (interpret mode on CPU)."""
     from nbody_tpu.ops.barnes_hut import barnes_hut_forces
 
     from nbody_tpu.models.distributions import init_spherical
@@ -208,11 +208,12 @@ def test_fused_tile_path_matches_xla(monkeypatch):
     )
     kw = dict(levels=3, near_engine="tiles", near_k=8, multipole_order=2)
 
-    monkeypatch.delenv("NBODY_PALLAS_NEAR", raising=False)
-    want = barnes_hut_forces(s.pos, s.mass, 1.0, 0.1, 0.5, **kw)
-
-    monkeypatch.setenv("NBODY_PALLAS_NEAR", "force")
-    got = barnes_hut_forces.__wrapped__(s.pos, s.mass, 1.0, 0.1, 0.5, **kw)
+    want = barnes_hut_forces(
+        s.pos, s.mass, 1.0, 0.1, 0.5, near_impl="xla", **kw
+    )
+    got = barnes_hut_forces(
+        s.pos, s.mass, 1.0, 0.1, 0.5, near_impl="pallas_interpret", **kw
+    )
 
     scale = float(jnp.max(jnp.abs(want)))
     np.testing.assert_allclose(
