@@ -203,7 +203,36 @@ def test_multi_step_energy_drift_sharded(mesh):
     assert abs((e1 - e0) / e0) < 0.01
 
 
-class TestShardedTree:
+def test_multi_step_energy_drift_sharded_bh(mesh):
+    """Physics fidelity survives the DESIGNED distributed BH path
+    (psum moments + slab routing + halo): multi-step drift stays small
+    on the 8-device mesh (VERDICT r2 item 4)."""
+    s = init_spherical(
+        jax.random.PRNGKey(5), 128, SphericalDistParams(radius=3.0)
+    )
+    cfg = SimulationConfig(
+        particle_count=128,
+        force_method=ForceMethod.BARNES_HUT,
+        bh_max_level=3,
+        dt=1e-3,
+    )
+
+    from nbody_tpu.ops.integrator import make_multi_step
+    from nbody_tpu.parallel.step import make_sharded_force_fn
+
+    sharded_force = make_sharded_force_fn(cfg, mesh)
+    s = initialize_forces(s, sharded_force)
+    sharded = shard_state(s, mesh)
+    ke0, pe0 = sharded_energy(sharded, mesh, 1.0, 0.1)
+    e0 = float(ke0 + pe0)
+
+    multi = jax.jit(make_multi_step(sharded_force, cfg.dt, 50))
+    sharded = multi(sharded)
+    ke1, pe1 = sharded_energy(sharded, mesh, 1.0, 0.1)
+    e1 = float(ke1 + pe1)
+    # BH approximation + f32: looser than the direct-force gate, but a
+    # blown-up integration fails by orders of magnitude, not 2%.
+    assert abs((e1 - e0) / e0) < 0.02
     """Designed distributed BH/hash (parallel/tree.py): psum-combined
     pyramid + slab-routed near field + ppermute halo. Equivalence is
     allclose vs the single-device engines — not merely isfinite
