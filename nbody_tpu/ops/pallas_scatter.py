@@ -51,8 +51,50 @@ from jax.experimental.pallas import tpu as pltpu
 SENTINEL = float(1 << 25)  # exact in f32; > any real dest id (< 2^24)
 
 
+def _split3_dot(win_v, onehot):
+    """One-hot placement matmul as THREE default-precision bf16 passes.
+
+    ``win_v = w0 + w1 + w2`` is the exact 3-way bf16 split (8+8+8 ≥ 24
+    mantissa bits) and the one-hot rhs is exactly representable in bf16,
+    so with ≤ 1 match per dest row the sum reassembles the f32 value
+    BIT-EXACTLY — same guarantee as precision=HIGHEST, which costs ~2-3×
+    the MXU passes (it splits BOTH operands; the one-hot side needs no
+    split). For many-match rows (segment sums) each partial sum
+    accumulates in f32 — f32-accurate, rounding differs from HIGHEST
+    only by summation order.
+    """
+    w0 = win_v.astype(jnp.bfloat16)
+    r1 = win_v - w0.astype(jnp.float32)
+    w1 = r1.astype(jnp.bfloat16)
+    w2 = (r1 - w1.astype(jnp.float32)).astype(jnp.bfloat16)
+    oh = onehot.astype(jnp.bfloat16)
+    dims = (((1,), (1,)), ((), ()))
+    acc = jax.lax.dot_general(
+        w0, oh, dims, preferred_element_type=jnp.float32
+    )
+    acc += jax.lax.dot_general(
+        w1, oh, dims, preferred_element_type=jnp.float32
+    )
+    acc += jax.lax.dot_general(
+        w2, oh, dims, preferred_element_type=jnp.float32
+    )
+    return acc
+
+
+def _placement_dot(win_v, onehot, split3: bool):
+    if split3:
+        return _split3_dot(win_v, onehot)
+    return jax.lax.dot_general(
+        win_v,
+        onehot,
+        (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def _kernel(
     starts_ref,   # (n_chunks,) i32 scalar-prefetch: window starts // 128
+    nonempty_ref,  # (n_chunks,) i32 scalar-prefetch: chunk has sources
     geom_ref,     # (1, 128) f32 VMEM: [lo_x, lo_y, lo_z, cell, ...]
     src_hbm,      # (8, cols_pad) f32 ANY: channels x,y,z,m,dest,1,0,0
     out_ref,      # (8, R) f32 VMEM block
@@ -61,53 +103,63 @@ def _kernel(
     w: int,
     k: int,
     d: int,
+    split3: bool,
 ):
     c = pl.program_id(0)
 
+    # Filler: cell centers, mass 0. cell = dest_row // k (constant
+    # divisor); d is a power of two -> shift/mask 3-D decode. Computed
+    # unconditionally — it is also the whole output of empty chunks
+    # (~45% of chunks on a spherical scene are outside the ball; they
+    # skip the DMA + matmul entirely).
+    row0 = c * r
+    dest_lanes = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1) + row0
+    cell = dest_lanes // k
+    dbits = d.bit_length() - 1
+    cz = cell & (d - 1)
+    cy = (cell >> dbits) & (d - 1)
+    cx = cell >> (2 * dbits)
+    lo_x = geom_ref[0, 0]
+    lo_y = geom_ref[0, 1]
+    lo_z = geom_ref[0, 2]
+    cw = geom_ref[0, 3]
+    fx = lo_x + (cx.astype(jnp.float32) + 0.5) * cw
+    fy = lo_y + (cy.astype(jnp.float32) + 0.5) * cw
+    fz = lo_z + (cz.astype(jnp.float32) + 0.5) * cw
+
+    # Scratch is allocated unconditionally (Mosaic hoists allocations);
+    # only the DMA + matmul sit behind the emptiness branch.
     def inner(win, sem):
-        s128 = starts_ref[c]
-        cp = pltpu.make_async_copy(
-            src_hbm.at[:, pl.ds(s128 * 128, w)], win, sem
-        )
-        cp.start()
-        cp.wait()
+        @pl.when(nonempty_ref[c] == 0)
+        def _empty():
+            out_ref[0:1] = fx
+            out_ref[1:2] = fy
+            out_ref[2:3] = fz
+            out_ref[3:8] = jnp.zeros((5, r), jnp.float32)
 
-        row0 = c * r
-        win_v = win[...]                                     # (8, W)
-        keys = win_v[4:5]                                    # (1, W)
-        iota_sub = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
-        dest_rows_f = (iota_sub + row0).astype(jnp.float32)  # (R, 1)
-        onehot = (dest_rows_f == keys).astype(jnp.float32)   # (R, W)
+        @pl.when(nonempty_ref[c] != 0)
+        def _full():
+            s128 = starts_ref[c]
+            cp = pltpu.make_async_copy(
+                src_hbm.at[:, pl.ds(s128 * 128, w)], win, sem
+            )
+            cp.start()
+            cp.wait()
 
-        placed = jax.lax.dot_general(
-            win_v,
-            onehot,
-            (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (8, R) — bit-exact row placement (module docstring)
-        covered = placed[5:6]                                # (1, R)
+            win_v = win[...]                                     # (8, W)
+            keys = win_v[4:5]                                    # (1, W)
+            iota_sub = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+            dest_rows_f = (iota_sub + row0).astype(jnp.float32)  # (R, 1)
+            onehot = (dest_rows_f == keys).astype(jnp.float32)   # (R, W)
 
-        # Filler: cell centers, mass 0. cell = dest_row // k (constant
-        # divisor); d is a power of two -> shift/mask 3-D decode.
-        dest_lanes = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1) + row0
-        cell = dest_lanes // k
-        dbits = d.bit_length() - 1
-        cz = cell & (d - 1)
-        cy = (cell >> dbits) & (d - 1)
-        cx = cell >> (2 * dbits)
-        lo_x = geom_ref[0, 0]
-        lo_y = geom_ref[0, 1]
-        lo_z = geom_ref[0, 2]
-        cw = geom_ref[0, 3]
-        fx = lo_x + (cx.astype(jnp.float32) + 0.5) * cw
-        fy = lo_y + (cy.astype(jnp.float32) + 0.5) * cw
-        fz = lo_z + (cz.astype(jnp.float32) + 0.5) * cw
+            placed = _placement_dot(win_v, onehot, split3)  # (8, R)
+            covered = placed[5:6]                                # (1, R)
 
-        miss = 1.0 - covered
-        out_ref[0:1] = placed[0:1] + miss * fx
-        out_ref[1:2] = placed[1:2] + miss * fy
-        out_ref[2:3] = placed[2:3] + miss * fz
-        out_ref[3:8] = placed[3:8]  # mass + aux channels: filler is 0
+            miss = 1.0 - covered
+            out_ref[0:1] = placed[0:1] + miss * fx
+            out_ref[1:2] = placed[1:2] + miss * fy
+            out_ref[2:3] = placed[2:3] + miss * fz
+            out_ref[3:8] = placed[3:8]  # mass + aux: filler is 0
 
     pl.run_scoped(
         inner,
@@ -118,34 +170,38 @@ def _kernel(
 
 def _segsum_kernel(
     starts_ref,   # (n_chunks,) i32 scalar-prefetch: window starts // 128
+    nonempty_ref,  # (n_chunks,) i32 scalar-prefetch: chunk has sources
     src_hbm,      # (16, cols_pad) f32 ANY: C value channels + dest + 0s
     out_ref,      # (16, R) f32 VMEM block
     *,
     r: int,
     w: int,
+    split3: bool,
 ):
     c = pl.program_id(0)
 
     def inner(win, sem):
-        s128 = starts_ref[c]
-        cp = pltpu.make_async_copy(
-            src_hbm.at[:, pl.ds(s128 * 128, w)], win, sem
-        )
-        cp.start()
-        cp.wait()
+        @pl.when(nonempty_ref[c] == 0)
+        def _empty():
+            out_ref[...] = jnp.zeros((16, r), jnp.float32)
 
-        row0 = c * r
-        win_v = win[...]                                     # (16, W)
-        keys = win_v[15:16]                                  # (1, W)
-        iota_sub = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
-        dest_rows_f = (iota_sub + row0).astype(jnp.float32)  # (R, 1)
-        onehot = (dest_rows_f == keys).astype(jnp.float32)   # (R, W)
-        out_ref[...] = jax.lax.dot_general(
-            win_v,
-            onehot,
-            (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (16, R): segment sums, f32-accurate MXU accumulation
+        @pl.when(nonempty_ref[c] != 0)
+        def _full():
+            s128 = starts_ref[c]
+            cp = pltpu.make_async_copy(
+                src_hbm.at[:, pl.ds(s128 * 128, w)], win, sem
+            )
+            cp.start()
+            cp.wait()
+
+            row0 = c * r
+            win_v = win[...]                                     # (16, W)
+            keys = win_v[15:16]                                  # (1, W)
+            iota_sub = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+            dest_rows_f = (iota_sub + row0).astype(jnp.float32)  # (R, 1)
+            onehot = (dest_rows_f == keys).astype(jnp.float32)   # (R, W)
+            # (16, R): segment sums, f32-accurate MXU accumulation
+            out_ref[...] = _placement_dot(win_v, onehot, split3)
 
     pl.run_scoped(
         inner,
@@ -155,7 +211,7 @@ def _segsum_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_dest", "r", "w", "interpret")
+    jax.jit, static_argnames=("num_dest", "r", "w", "split3", "interpret")
 )
 def monotone_segment_sum(
     vals: jax.Array,        # (N, C) rows, C <= 15, sorted by dest
@@ -165,6 +221,8 @@ def monotone_segment_sum(
     num_dest: int,
     r: int = 256,
     w: int = 2560,
+    nonempty: jax.Array | None = None,  # (n_chunks,) bool/i32 chunk flags
+    split3: bool = True,
     interpret: bool = False,
 ) -> jax.Array:
     """→ (C, num_dest) per-segment sums — the scatter-ADD analogue of
@@ -178,6 +236,13 @@ def monotone_segment_sum(
     assert c_in <= 15
     m = -(-num_dest // r) * r
     n_chunks = m // r
+
+    if nonempty is None:
+        # A chunk is live iff any (sorted) dest id lands in its row range.
+        bounds = jnp.arange(n_chunks + 1, dtype=dest.dtype) * r
+        idx = jnp.searchsorted(dest, bounds, side="left")
+        nonempty = idx[1:] > idx[:-1]
+    nonempty = nonempty.astype(jnp.int32)
 
     cols_pad = -(-(n + w + 128) // 128) * 128
     dest_f = jnp.where(
@@ -197,13 +262,13 @@ def monotone_segment_sum(
     starts128 = jnp.clip(src_starts // 128, 0, (cols_pad - w) // 128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_chunks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((16, r), lambda i, s: (0, i)),
+        out_specs=pl.BlockSpec((16, r), lambda i, *_: (0, i)),
     )
     out = pl.pallas_call(
-        functools.partial(_segsum_kernel, r=r, w=w),
+        functools.partial(_segsum_kernel, r=r, w=w, split3=split3),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((16, m), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -216,12 +281,12 @@ def monotone_segment_sum(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(starts128, src)
+    )(starts128, nonempty, src)
     return out[:c_in, :num_dest]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "d", "r", "w", "interpret")
+    jax.jit, static_argnames=("k", "d", "r", "w", "split3", "interpret")
 )
 def monotone_scatter_tiles(
     psort: jax.Array,       # (N, 4) cell-sorted rows x,y,z,m
@@ -234,6 +299,8 @@ def monotone_scatter_tiles(
     d: int,
     r: int = 1024,
     w: int = 1024,
+    nonempty: jax.Array | None = None,  # (n_chunks,) bool/i32 chunk flags
+    split3: bool = True,
     interpret: bool = False,
 ) -> jax.Array:
     """→ (4, d³·k) channel-major dense slot rows: psort row at its
@@ -247,6 +314,12 @@ def monotone_scatter_tiles(
     m = d * d * d * k
     assert m % r == 0
     n_chunks = m // r
+
+    if nonempty is None:
+        bounds = jnp.arange(n_chunks + 1, dtype=dest.dtype) * r
+        idx = jnp.searchsorted(dest, bounds, side="left")
+        nonempty = idx[1:] > idx[:-1]
+    nonempty = nonempty.astype(jnp.int32)
 
     cols_pad = -(-(n + w + 128) // 128) * 128
     dest_f = jnp.where(
@@ -279,16 +352,16 @@ def monotone_scatter_tiles(
     starts128 = jnp.clip(src_starts // 128, 0, (cols_pad - w) // 128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, 128), lambda i, s: (0, 0)),
+            pl.BlockSpec((1, 128), lambda i, *_: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((8, r), lambda i, s: (0, i)),
+        out_specs=pl.BlockSpec((8, r), lambda i, *_: (0, i)),
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, r=r, w=w, k=k, d=d),
+        functools.partial(_kernel, r=r, w=w, k=k, d=d, split3=split3),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((8, m), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -301,5 +374,5 @@ def monotone_scatter_tiles(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(starts128, geom, src)
+    )(starts128, nonempty, geom, src)
     return out[:4]

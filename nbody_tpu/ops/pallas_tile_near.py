@@ -63,39 +63,56 @@ def _near_kernel(tiles_hbm, acc_ref, *, k, ws, zp, c, m, eps, zero_guard):
         cp.start()
         cp.wait()
 
-        # Target rows: central x-plane, unshifted lanes.
-        tx = slab[ws, 0, :, m:m + c]            # (K, C)
-        ty = slab[ws, 1, :, m:m + c]
-        tz = slab[ws, 2, :, m:m + c]
+        # Geometric occupancy skip (masses are non-negative; a zero-mass
+        # source contributes exact zeros, so skipping is numerically
+        # identical): chunks whose TARGET lanes hold no real particle —
+        # ~45% of chunks on the default spherical scene lie outside the
+        # ball — write zeros and do no work. Inert-slot accelerations
+        # become 0 instead of filler-center values; the pickup only
+        # gathers real rows.
+        t_any = jnp.sum(slab[ws, 3, :, m:m + c])
 
-        # Every op below is a 2D (K_s sublanes, C lanes) block — the
-        # native vreg tiling; source slices are reused across all K_t.
-        accs = [jnp.zeros((3, c), jnp.float32) for _ in range(k)]
-        for xo in range(w1):
-            for yo in range(-ws, ws + 1):
-                for zo in range(-ws, ws + 1):
-                    off = m + yo * zp + zo
-                    sx = slab[xo, 0, :, off:off + c]   # (K_s, C)
-                    sy = slab[xo, 1, :, off:off + c]
-                    sz = slab[xo, 2, :, off:off + c]
-                    sm = slab[xo, 3, :, off:off + c]
-                    for kt in range(k):
-                        dx = sx - tx[kt][None]         # (K_s, C)
-                        dy = sy - ty[kt][None]
-                        dz = sz - tz[kt][None]
-                        r2 = dx * dx + dy * dy + dz * dz
-                        inv = jax.lax.rsqrt(r2 + eps2)
-                        w = sm * (inv * inv * inv)
-                        if zero_guard:
-                            w = jnp.where(r2 == 0.0, 0.0, w)
-                        accs[kt] = accs[kt] + jnp.stack(
-                            [
-                                jnp.sum(w * dx, axis=0),
-                                jnp.sum(w * dy, axis=0),
-                                jnp.sum(w * dz, axis=0),
-                            ]
-                        )
-        acc_ref[0] = jnp.stack(accs, axis=1)  # (3, K, C)
+        @pl.when(t_any == 0.0)
+        def _empty_chunk():
+            acc_ref[0] = jnp.zeros((3, k, c), jnp.float32)
+
+        @pl.when(t_any != 0.0)
+        def _live_chunk():
+            # Target rows: central x-plane, unshifted lanes.
+            tx = slab[ws, 0, :, m:m + c]            # (K, C)
+            ty = slab[ws, 1, :, m:m + c]
+            tz = slab[ws, 2, :, m:m + c]
+
+            # Source-broadcast accumulation: each (offset, source-slot)
+            # step broadcasts ONE source row (1, C) against the whole
+            # (K, C) target block and fma-accumulates — no cross-sublane
+            # reductions, no stacks, accumulators live across the sweep
+            # (3 × (K, C) vregs; chunk C is sized to keep the working
+            # set within the register budget).
+            ax = jnp.zeros((k, c), jnp.float32)
+            ay = jnp.zeros((k, c), jnp.float32)
+            az = jnp.zeros((k, c), jnp.float32)
+            for xo in range(w1):
+                for yo in range(-ws, ws + 1):
+                    for zo in range(-ws, ws + 1):
+                        off = m + yo * zp + zo
+                        for ks in range(k):
+                            sx = slab[xo, 0, ks, off:off + c]  # (C,)
+                            sy = slab[xo, 1, ks, off:off + c]
+                            sz = slab[xo, 2, ks, off:off + c]
+                            sm = slab[xo, 3, ks, off:off + c]
+                            dx = sx[None] - tx         # (K, C)
+                            dy = sy[None] - ty
+                            dz = sz[None] - tz
+                            r2 = dx * dx + dy * dy + dz * dz
+                            inv = jax.lax.rsqrt(r2 + eps2)
+                            w = sm[None] * (inv * inv * inv)
+                            if zero_guard:
+                                w = jnp.where(r2 == 0.0, 0.0, w)
+                            ax = ax + w * dx
+                            ay = ay + w * dy
+                            az = az + w * dz
+            acc_ref[0] = jnp.stack([ax, ay, az])  # (3, K, C)
 
     pl.run_scoped(
         inner,
@@ -118,7 +135,7 @@ def tile_sweep_pallas(
     d: int,
     ws: int,
     eps: float,
-    chunk: int = 512,
+    chunk: int = 256,
     pre_transposed: bool = False,
     raw_output: bool = False,
     interpret: bool = False,
