@@ -24,8 +24,12 @@ def main():
     import jax.numpy as jnp
 
     from nbody_tpu.models.distributions import init_spherical
-    from nbody_tpu.ops.forces import make_force_fn
-    from nbody_tpu.ops.integrator import initialize_forces, make_multi_step
+    from nbody_tpu.ops.forces import make_force_fn, make_sorted_force_fn
+    from nbody_tpu.ops.integrator import (
+        initialize_forces,
+        make_multi_step,
+        make_sorted_multi_step,
+    )
     from nbody_tpu.types import ForceMethod, SimulationConfig, SphericalDistParams
 
     # Headline: the NORTH-STAR config — 1M-particle Barnes-Hut (the
@@ -90,7 +94,18 @@ def main():
     # (at 1M, 5 steps measured 4.0 steps/s for a true 8.5 — the fixed
     # dispatch+readback overhead needs ≥3 s of device work to vanish)
     steps = 200 if n <= 10_000 else (50 if n <= 100_000 else 30)
-    multi = jax.jit(make_multi_step(force_fn, config.dt, steps))
+    # Sorted-state stepping (NBODY_BENCH_SORTED=0 opts out): the BH tiles
+    # engine steps in its internal cell-sorted order across the scan,
+    # deleting the per-step unsort gather (ops/integrator.py).
+    sorted_force = (
+        make_sorted_force_fn(config)
+        if os.environ.get("NBODY_BENCH_SORTED") != "0"
+        else None
+    )
+    if sorted_force is not None:
+        multi = jax.jit(make_sorted_multi_step(sorted_force, config.dt, steps))
+    else:
+        multi = jax.jit(make_multi_step(force_fn, config.dt, steps))
     # warm-up compile; the scalar readback defeats async dispatch layers
     # that under-report on block_until_ready (observed through the axon
     # relay), so timings below include a real device round-trip.

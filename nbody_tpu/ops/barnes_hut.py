@@ -842,6 +842,43 @@ def barnes_hut_forces(
     )
 
 
+def barnes_hut_forces_sorted(
+    pos,
+    mass,
+    G: float = 1.0,
+    softening: float = 0.1,
+    theta: float = 0.5,
+    *,
+    levels: int = 6,
+    near_k: int = 16,
+    multipole_order: int = 2,
+    near_impl: str | None = None,
+):
+    """Sorted-pipeline BH forces → ``(acc_sorted, psort, order)``.
+
+    The same physics as ``barnes_hut_forces`` on the tiles/pallas fast
+    path, but every output stays in the engine's internal CELL-SORTED row
+    order: ``acc_sorted`` aligns with ``psort`` (x, y, z, mass rows) and
+    ``order`` maps original row i → sorted position (``psort =
+    stacked(pos, mass)[order]``). Callers that STEP in sorted order
+    (ops/integrator.make_sorted_multi_step) skip the ~13 ms/1M unsort
+    gather every step and re-sort their own payload with one
+    width-insensitive gather instead.
+    """
+    if near_impl is None:
+        near_impl = resolve_impl("NBODY_PALLAS_NEAR")
+    if near_impl == "xla":
+        # The sorted contract only exists on the fused tiles path; the
+        # hermetic CPU form of that path is interpret mode.
+        near_impl = "pallas_interpret"
+    return _barnes_hut_forces(
+        pos, mass, G, softening, theta,
+        levels=levels, window=2048, near_engine="tiles",
+        near_k=near_k, multipole_order=multipole_order,
+        near_impl=near_impl, sorted_output=True,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -854,6 +891,7 @@ def barnes_hut_forces(
         "near_k",
         "multipole_order",
         "near_impl",
+        "sorted_output",
     ),
 )
 def _barnes_hut_forces(
@@ -869,17 +907,25 @@ def _barnes_hut_forces(
     near_k: int,
     multipole_order: int,
     near_impl: str,
+    sorted_output: bool = False,
 ):
     ws = theta_to_ws(theta, order=multipole_order)
     d_fine = 1 << levels
     # The one-hot kernels carry dest ids in f32: exact only below 2^24
     # (pallas_scatter.py SENTINEL contract) — static guard, never silent.
     fits_f32_ids = d_fine**3 * max(near_k, 1) < (1 << 24)
-    if (
+    fast_path = (
         near_engine == "tiles"
         and near_impl in ("pallas", "pallas_interpret")
         and fits_f32_ids
-    ):
+    )
+    if sorted_output and not fast_path:
+        raise ValueError(
+            "sorted_output requires the tiles/pallas fast path "
+            f"(near_engine={near_engine!r}, near_impl={near_impl!r}, "
+            f"grid ids fit f32: {fits_f32_ids})"
+        )
+    if fast_path:
         # TPU fast path: ONE cell sort feeds both the pyramid moments
         # (MXU segment sum, lax.cond fallback to the exact scatter when
         # its window audit is nonzero) and the tile near field.
@@ -911,19 +957,31 @@ def _barnes_hut_forces(
         a_near, _over = tile_near_field(
             pos, mass, coords, lo, cell,
             d=d, ws=ws, k=near_k, G=G, eps=softening, grid=grid,
-            impl=near_impl,
+            impl=near_impl, sorted_output=sorted_output,
         )
-        centers = lo + (coords.astype(pos.dtype) + 0.5) * cell
+        if sorted_output:
+            # Sorted-pipeline contract: everything in CELL-SORTED row
+            # order (rows aligned with grid.psort) — the far pickup reads
+            # by the SORTED cell ids and deltas, and the ~13 ms/1M unsort
+            # never happens (ops/integrator.make_sorted_multi_step).
+            pos_s = grid.psort[:, :3]
+            centers = lo + (grid.csort.astype(pos.dtype) + 0.5) * cell
+            cid = ids_sorted
+        else:
+            pos_s = pos
+            centers = lo + (coords.astype(pos.dtype) + 0.5) * cell
+            cid = (coords[:, 0] * d + coords[:, 1]) * d + coords[:, 2]
         parts = [a_far, j_far] + ([h_far] if h_far is not None else [])
         packed_g = jnp.concatenate(parts, axis=-1)
-        cid = (coords[:, 0] * d + coords[:, 1]) * d + coords[:, 2]
         vals = packed_g.reshape(d**3, packed_g.shape[-1])[cid]
-        delta = pos - centers
+        delta = pos_s - centers
         pick = vals[:, :3] + sym_matvec(vals[:, 3:9], delta)
         if h_far is not None:
             pick = pick + 0.5 * sym_matvec(
                 sym3_matvec(vals[:, 9:19], delta), delta
             )
+        if sorted_output:
+            return a_near + pick, grid.psort, grid.order
         return a_near + pick
 
     pyr = build_pyramid(pos, mass, levels, order=multipole_order)
@@ -1035,6 +1093,41 @@ def make_barnes_hut_forces(config: SimulationConfig):
         )
 
     return force_fn
+
+
+def make_barnes_hut_forces_sorted(config: SimulationConfig):
+    """Sorted-pipeline strategy factory, or None when the config does not
+    select the tiles/pallas fast path (the only engine with a sorted
+    contract — see ``barnes_hut_forces_sorted``). Callers fall back to the
+    plain ``make_barnes_hut_forces`` + unsort semantics when None."""
+    G = config.G
+    eps = config.softening
+    theta = config.barnes_hut_theta
+    p = bh_engine_params(config)
+    near_impl = resolve_impl("NBODY_PALLAS_NEAR")
+    if near_impl == "xla":
+        near_impl = "pallas_interpret"
+    d = 1 << p["levels"]
+    if p["near_engine"] != "tiles" or d**3 * p["near_k"] >= (1 << 24):
+        return None
+
+    def sorted_force_fn(pos, mass):
+        return _barnes_hut_forces(
+            pos,
+            mass,
+            G,
+            eps,
+            theta,
+            levels=p["levels"],
+            window=p["window"],
+            near_engine="tiles",
+            near_k=p["near_k"],
+            multipole_order=p["multipole_order"],
+            near_impl=near_impl,
+            sorted_output=True,
+        )
+
+    return sorted_force_fn
 
 
 # ---------------------------------------------------------------------------

@@ -62,6 +62,26 @@ def make_force_fn(config: SimulationConfig, *, backend: Optional[str] = None):
     raise ValidationError(f"Unknown force method: {method}")
 
 
+def make_sorted_force_fn(
+    config: SimulationConfig, *, backend: Optional[str] = None
+):
+    """Sorted-pipeline force factory, or None when ``config`` has no
+    sorted-contract engine.
+
+    A sorted force returns ``(acc_sorted, psort, order)`` in its internal
+    cell-sorted row order (see ops/barnes_hut.barnes_hut_forces_sorted);
+    paired with ops/integrator.make_sorted_multi_step it deletes the
+    per-step unsort gather (~13 ms at 1M). Only the Barnes-Hut
+    tiles/pallas engine implements the contract today; every other method
+    returns None and callers use ``make_force_fn`` + plain stepping.
+    """
+    if config.force_method == ForceMethod.BARNES_HUT:
+        from nbody_tpu.ops.barnes_hut import make_barnes_hut_forces_sorted
+
+        return make_barnes_hut_forces_sorted(config)
+    return None
+
+
 def list_algorithms():
     """reference: --list-algorithms (src/main.cpp, app_cli.cpp:118-121)."""
     return [

@@ -74,6 +74,117 @@ def initialize_forces(state: ParticleState, force_fn: ForceFn) -> ParticleState:
 
 
 # ---------------------------------------------------------------------------
+# Sorted-state stepping (TPU scale path — no reference counterpart)
+# ---------------------------------------------------------------------------
+#
+# The cell-sorted force engines (Barnes-Hut tiles, spatial hash) sort
+# particles by cell id internally and un-sort the result every call — a
+# ~13 ms gather at 1M that exists only to restore an order the next step
+# immediately re-sorts. Stepping IN sorted order deletes it: the force
+# returns (acc, psort, order) in its own sorted row order, the integrator
+# re-sorts its payload (half-kicked velocity + the original-row tag) with
+# ONE width-insensitive gather, and the original order is reconstructed
+# once at readout, not once per step.
+
+# sorted_force_fn(pos (N,3), mass (N,)) ->
+#   (acc_sorted (N,3), psort (N,4) [x,y,z,mass], order (N,) i32)
+SortedForceFn = Callable[
+    [jax.Array, jax.Array], tuple[jax.Array, jax.Array, jax.Array]
+]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SortedState:
+    """Integration state whose rows live in an ARBITRARY permutation of the
+    original particle order; ``to_orig[i]`` is row i's original index.
+    ``to_particle_state`` restores the original order (one gather)."""
+
+    pos: jax.Array      # (N, 3)
+    vel: jax.Array      # (N, 3)
+    acc: jax.Array      # (N, 3)
+    mass: jax.Array     # (N,)
+    to_orig: jax.Array  # (N,) int32
+    time: jax.Array     # ()
+
+
+def sorted_state_from(state: ParticleState) -> SortedState:
+    """ParticleState → SortedState (identity permutation; ``state.acc``
+    must already hold a(t), see ``initialize_forces``)."""
+    n = state.pos.shape[0]
+    return SortedState(
+        pos=state.pos, vel=state.vel, acc=state.acc, mass=state.mass,
+        to_orig=jnp.arange(n, dtype=jnp.int32),
+        time=state.time,
+    )
+
+
+def to_particle_state(s: SortedState) -> ParticleState:
+    """SortedState → ParticleState in ORIGINAL row order (one gather —
+    rows[argsort(to_orig)] is the inverse permutation in gather form,
+    the same trick as sorted_window.unsort_rows)."""
+    inv = jnp.argsort(s.to_orig)
+    return ParticleState(
+        pos=s.pos[inv], vel=s.vel[inv], acc=s.acc[inv], mass=s.mass[inv],
+        time=s.time,
+    )
+
+
+def sorted_verlet_step(
+    s: SortedState, sorted_force_fn: SortedForceFn, dt
+) -> SortedState:
+    """One Velocity Verlet step entirely in sorted space.
+
+    The half-kicked velocity and the original-row tag ride through the
+    force's permutation as ONE stacked payload gather (XLA row gathers
+    are width-insensitive: 1 and 19 columns both cost ~3 ms at 1M). The
+    int32 tag rides bit-exactly via a bitcast — it is only gathered,
+    never computed on.
+    """
+    dt = jnp.asarray(dt, s.pos.dtype)
+    pos_d = s.pos + s.vel * dt + (0.5 * dt * dt) * s.acc
+    vel_h = s.vel + (0.5 * dt) * s.acc
+    acc_s, psort, order = sorted_force_fn(pos_d, s.mass)
+    payload = jnp.concatenate(
+        [
+            vel_h,
+            jax.lax.bitcast_convert_type(
+                s.to_orig.astype(jnp.int32), jnp.float32
+            )[:, None],
+        ],
+        axis=-1,
+    )[order]
+    vel_s = payload[:, :3] + (0.5 * dt) * acc_s
+    to_orig = jax.lax.bitcast_convert_type(payload[:, 3], jnp.int32)
+    return SortedState(
+        pos=psort[:, :3], vel=vel_s, acc=acc_s, mass=psort[:, 3],
+        to_orig=to_orig, time=s.time + dt,
+    )
+
+
+def make_sorted_multi_step(
+    sorted_force_fn: SortedForceFn, dt: float, n_steps: int
+):
+    """``n_steps`` sorted Verlet steps fused into one XLA program.
+
+    Returns ``multi(state: ParticleState) -> ParticleState`` — original
+    row order in, original row order out; the sorted permutation is purely
+    internal to the scan. Per-step saving vs ``make_multi_step`` on the
+    sorted engines: the unsort gather (~13 ms at 1M) minus one payload
+    gather (~3 ms)."""
+
+    def body(s, _):
+        return sorted_verlet_step(s, sorted_force_fn, dt), None
+
+    def multi(state: ParticleState) -> ParticleState:
+        s0 = sorted_state_from(state)
+        out, _ = jax.lax.scan(body, s0, None, length=n_steps)
+        return to_particle_state(out)
+
+    return multi
+
+
+# ---------------------------------------------------------------------------
 # Energy observability (reference: integrator.cu:252-289)
 # ---------------------------------------------------------------------------
 

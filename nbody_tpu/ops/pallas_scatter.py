@@ -52,33 +52,36 @@ SENTINEL = float(1 << 25)  # exact in f32; > any real dest id (< 2^24)
 
 
 def _split3_dot(win_v, onehot):
-    """One-hot placement matmul as THREE default-precision bf16 passes.
+    """One-hot placement matmul via an exact 3-way bf16 split — packed
+    into ONE MXU pass.
 
     ``win_v = w0 + w1 + w2`` is the exact 3-way bf16 split (8+8+8 ≥ 24
     mantissa bits) and the one-hot rhs is exactly representable in bf16,
-    so with ≤ 1 match per dest row the sum reassembles the f32 value
-    BIT-EXACTLY — same guarantee as precision=HIGHEST, which costs ~2-3×
-    the MXU passes (it splits BOTH operands; the one-hot side needs no
-    split). For many-match rows (segment sums) each partial sum
-    accumulates in f32 — f32-accurate, rounding differs from HIGHEST
-    only by summation order.
+    so with ≤ 1 match per dest row the three partial products reassemble
+    the f32 value BIT-EXACTLY — the same guarantee as precision=HIGHEST
+    at a fraction of the passes (HIGHEST splits BOTH operands; the
+    one-hot side needs no split). For many-match rows (segment sums)
+    each partial sum accumulates in f32 — f32-accurate, rounding differs
+    from HIGHEST only by summation order.
+
+    The split terms are STACKED on the M (sublane) axis — (3·C, W) —
+    because the MXU pads M to a full 128-row tile per pass (measured:
+    split3-as-3-passes costs ~1.5 ms/pass at 1M regardless of C = 8);
+    one (24, W) pass costs the same as one (8, W) pass, so stacking
+    recovers ~2 passes of pure padding.
     """
+    c_rows = win_v.shape[0]
     w0 = win_v.astype(jnp.bfloat16)
     r1 = win_v - w0.astype(jnp.float32)
     w1 = r1.astype(jnp.bfloat16)
     w2 = (r1 - w1.astype(jnp.float32)).astype(jnp.bfloat16)
+    lhs = jnp.concatenate([w0, w1, w2], axis=0)  # (3·C, W) bf16
     oh = onehot.astype(jnp.bfloat16)
-    dims = (((1,), (1,)), ((), ()))
     acc = jax.lax.dot_general(
-        w0, oh, dims, preferred_element_type=jnp.float32
-    )
-    acc += jax.lax.dot_general(
-        w1, oh, dims, preferred_element_type=jnp.float32
-    )
-    acc += jax.lax.dot_general(
-        w2, oh, dims, preferred_element_type=jnp.float32
-    )
-    return acc
+        lhs, oh, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (3·C, R)
+    return acc[:c_rows] + acc[c_rows:2 * c_rows] + acc[2 * c_rows:]
 
 
 def _placement_dot(win_v, onehot, split3: bool):

@@ -135,7 +135,7 @@ def tile_sweep_pallas(
     d: int,
     ws: int,
     eps: float,
-    chunk: int = 256,
+    chunk: int = 512,
     pre_transposed: bool = False,
     raw_output: bool = False,
     interpret: bool = False,

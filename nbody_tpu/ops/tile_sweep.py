@@ -45,6 +45,7 @@ def tile_near_field(
     eps: float,
     grid=None,
     impl: str | None = None,
+    sorted_output: bool = False,
 ):
     """Exact near-field acceleration within the (2ws+1)³ cell ball.
 
@@ -55,6 +56,11 @@ def tile_near_field(
     NBODY_PALLAS_NEAR + backend at call time — callers that trace this
     inside jit must resolve it themselves (ops/barnes_hut.resolve_impl)
     and pass it explicitly, or the env var binds silently at trace time.
+
+    ``sorted_output=True`` returns acc in the grid's CELL-SORTED row
+    order (rows aligned with ``grid.psort``), skipping the ~13 ms/1M
+    unsort gather — the contract the sorted-state integrator pipeline
+    (ops/integrator.make_sorted_multi_step) is built on.
     """
     if impl is None:
         from nbody_tpu.ops.barnes_hut import resolve_impl
@@ -154,7 +160,8 @@ def tile_near_field(
         acc_slots = tile_sweep_pallas(
             tiles_t, k=k, d=d, ws=ws, eps=eps, interpret=_interp
         )
-        acc = _slot_pickup(acc_slots, grid, ids_sorted, rank_sorted, k, n, G)
+        acc = _slot_pickup(acc_slots, grid, ids_sorted, rank_sorted, k, n, G,
+                           sorted_output=sorted_output)
         return acc, overflow
 
     tiles = _xla_tile_build(
@@ -208,7 +215,8 @@ def tile_near_field(
     acc0 = jnp.zeros((k, 3, pc), pos.dtype)
     acc_slots, _ = jax.lax.scan(body, acc0, offsets_arr)
     acc_slots = acc_slots.reshape(k, 3, d, d, d)
-    return _slot_pickup(acc_slots, grid, ids_sorted, rank_sorted, k, n, G), overflow
+    return _slot_pickup(acc_slots, grid, ids_sorted, rank_sorted, k, n, G,
+                        sorted_output=sorted_output), overflow
 
 
 def _xla_tile_build(
@@ -249,7 +257,8 @@ def _xla_tile_build(
     )
 
 
-def _slot_pickup(acc_slots, grid, ids_sorted, rank_sorted, k, n, G):
+def _slot_pickup(acc_slots, grid, ids_sorted, rank_sorted, k, n, G,
+                 sorted_output: bool = False):
     """Per-particle pickup: (k, 3, d, d, d) slot accelerations → (N, 3) in
     ORIGINAL particle order. One transpose then a LINEAR row gather
     (cell·k + rank), then the inverse-permutation GATHER (unsort_rows —
@@ -261,4 +270,6 @@ def _slot_pickup(acc_slots, grid, ids_sorted, rank_sorted, k, n, G):
     rank_read = jnp.minimum(rank_sorted, k - 1)
     acc_sorted = acc_t[ids_sorted * k + rank_read]
     acc_sorted = jnp.where((rank_sorted < k)[:, None], acc_sorted, 0.0)
+    if sorted_output:
+        return G * acc_sorted
     return unsort_rows(G * acc_sorted, grid.order)

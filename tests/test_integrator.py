@@ -188,3 +188,51 @@ def test_sampled_potential_energy_unbiased(key):
         )
     )
     assert abs(est_full - exact) / abs(exact) < 1e-5
+
+
+def test_sorted_multi_step_matches_plain():
+    """Sorted-state stepping (make_sorted_multi_step) is the same physics
+    as plain stepping — rows permuted internally, restored at readout.
+    Differences are only f32 accumulation order inside cells."""
+    import jax
+
+    from nbody_tpu.models.distributions import init_spherical
+    from nbody_tpu.ops.barnes_hut import (
+        _barnes_hut_forces,
+        barnes_hut_forces_sorted,
+    )
+    from nbody_tpu.ops.integrator import make_sorted_multi_step
+
+    n, levels, steps, dt = 2000, 3, 4, 1e-3
+    from nbody_tpu.types import SphericalDistParams
+
+    state = init_spherical(
+        jax.random.PRNGKey(7), n, SphericalDistParams(radius=5.0)
+    )
+
+    def force(pos, mass):
+        return _barnes_hut_forces(
+            pos, mass, 1.0, 0.1, 0.5, levels=levels, window=2048,
+            near_engine="tiles", near_k=16, multipole_order=2,
+            near_impl="pallas_interpret",
+        )
+
+    def sorted_force(pos, mass):
+        return barnes_hut_forces_sorted(
+            pos, mass, 1.0, 0.1, 0.5, levels=levels, near_k=16,
+            multipole_order=2, near_impl="pallas_interpret",
+        )
+
+    state = initialize_forces(state, force)
+    plain = make_multi_step(force, dt, steps)(state)
+    srt = make_sorted_multi_step(sorted_force, dt, steps)(state)
+
+    # mass/time ride permutations untouched → exact
+    np.testing.assert_array_equal(np.asarray(srt.mass), np.asarray(state.mass))
+    assert abs(float(srt.time) - float(plain.time)) < 1e-6
+    np.testing.assert_allclose(
+        np.asarray(srt.pos), np.asarray(plain.pos), rtol=2e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(srt.vel), np.asarray(plain.vel), rtol=2e-3, atol=1e-4
+    )
