@@ -63,7 +63,6 @@ def main():
         bh_max_level=6 if n > 300_000 else 5,
         dt=1e-3,
     )
-    force_fn = make_force_fn(config)
 
     # NBODY_BENCH_SCENE=sparse → uniform cube at ~1 particle/unit³ (the
     # density regime where the reference's published 1M-hash 60 FPS is
@@ -87,6 +86,9 @@ def main():
         state = init_spherical(
             jax.random.PRNGKey(42), n, SphericalDistParams(radius=10.0)
         )
+    # pos_hint: lets hash_engine=auto resolve window-vs-tiles from the
+    # actual scene density (ops/spatial_hash.hash_engine_params).
+    force_fn = make_force_fn(config, pos_hint=state.pos)
     state = jax.jit(lambda s: initialize_forces(s, force_fn))(state)
     state.block_until_ready()
 
@@ -98,7 +100,7 @@ def main():
     # engine steps in its internal cell-sorted order across the scan,
     # deleting the per-step unsort gather (ops/integrator.py).
     sorted_force = (
-        make_sorted_force_fn(config)
+        make_sorted_force_fn(config, pos_hint=state.pos)
         if os.environ.get("NBODY_BENCH_SORTED") != "0"
         else None
     )

@@ -37,6 +37,7 @@ class AppCliOptions:
     barnes_hut_theta: float = 0.5
     spatial_hash_cell_size: float = 1.0
     spatial_hash_cutoff: float = 2.0
+    hash_engine: str = "auto"
     seed: int = 42
     benchmark_mode: bool = False
     benchmark_steps: int = 100
@@ -155,6 +156,7 @@ class AppCliOptions:
             barnes_hut_theta=self.barnes_hut_theta,
             spatial_hash_cell_size=self.spatial_hash_cell_size,
             spatial_hash_cutoff=self.spatial_hash_cutoff,
+            hash_engine=self.hash_engine,
             seed=self.seed,
             shard_devices=self.devices,
         )
@@ -215,6 +217,8 @@ def parse_app_cli_options(argv: List[str]) -> AppCliOptions:
             o.spatial_hash_cell_size = _parse_float(need_value(a), a)
         elif a == "--cutoff":
             o.spatial_hash_cutoff = _parse_float(need_value(a), a)
+        elif a == "--hash-engine":
+            o.hash_engine = need_value(a)
         elif a == "--seed":
             o.seed = _parse_int(need_value(a), a)
         elif a == "--radius":
@@ -288,6 +292,10 @@ def parse_app_cli_options(argv: List[str]) -> AppCliOptions:
         raise ValidationError("Spatial hash cell size must be positive")
     if o.spatial_hash_cutoff <= 0:
         raise ValidationError("Spatial hash cutoff must be positive")
+    if o.hash_engine not in ("auto", "window", "tiles"):
+        raise ValidationError(
+            f"Unknown hash engine: {o.hash_engine} (auto | window | tiles)"
+        )
     if o.benchmark_steps <= 0:
         raise ValidationError("Benchmark steps must be greater than zero")
     if o.export_format not in ("checkpoint", "hdf5"):
@@ -330,6 +338,7 @@ Simulation options:
   --theta VALUE          Barnes-Hut opening angle
   --cell-size VALUE      Spatial-hash grid cell edge
   --cutoff VALUE         Spatial-hash interaction cutoff
+  --hash-engine NAME     auto | window | tiles (short-range engine)
   --seed N               Set initializer RNG seed
   --steps N              Step count for interactive/render mode
 

@@ -109,6 +109,12 @@ def validate_config(config: SimulationConfig) -> None:
         raise ValidationError("hash_max_per_cell must be positive")
     if config.hash_max_grid_dim <= 0:
         raise ValidationError("hash_max_grid_dim must be positive")
+    if config.hash_engine not in ("auto", "window", "tiles"):
+        raise ValidationError(
+            "hash_engine must be one of auto | window | tiles"
+        )
+    if not (1 <= config.hash_tile_k <= 64):
+        raise ValidationError("hash_tile_k must be in [1, 64]")
     if not (0 < config.bh_max_level <= 10):
         raise ValidationError("bh_max_level must be in [1, 10]")
     if config.shard_devices <= 0:

@@ -23,12 +23,21 @@ def _use_pallas(backend: Optional[str]) -> bool:
     return b == "tpu"
 
 
-def make_force_fn(config: SimulationConfig, *, backend: Optional[str] = None):
+def make_force_fn(
+    config: SimulationConfig,
+    *,
+    backend: Optional[str] = None,
+    pos_hint=None,
+):
     """Build the force function for ``config.force_method``.
 
     On TPU backends the hot paths use Pallas kernels; elsewhere (CPU tests)
     the pure-XLA implementations run — same math, same seams as the
     reference's CPU-reference-vs-GPU-kernel test strategy (SURVEY.md §4).
+
+    ``pos_hint`` (optional concrete positions, used outside jit) feeds
+    data-dependent engine auto-selection — today the spatial hash's
+    window-vs-tiles choice (ops/spatial_hash.hash_engine_params).
     """
     method = config.force_method
     G = config.G
@@ -57,13 +66,16 @@ def make_force_fn(config: SimulationConfig, *, backend: Optional[str] = None):
     if method == ForceMethod.SPATIAL_HASH:
         from nbody_tpu.ops.spatial_hash import make_spatial_hash_forces
 
-        return make_spatial_hash_forces(config)
+        return make_spatial_hash_forces(config, pos_hint=pos_hint)
 
     raise ValidationError(f"Unknown force method: {method}")
 
 
 def make_sorted_force_fn(
-    config: SimulationConfig, *, backend: Optional[str] = None
+    config: SimulationConfig,
+    *,
+    backend: Optional[str] = None,
+    pos_hint=None,
 ):
     """Sorted-pipeline force factory, or None when ``config`` has no
     sorted-contract engine.
@@ -71,14 +83,21 @@ def make_sorted_force_fn(
     A sorted force returns ``(acc_sorted, psort, order)`` in its internal
     cell-sorted row order (see ops/barnes_hut.barnes_hut_forces_sorted);
     paired with ops/integrator.make_sorted_multi_step it deletes the
-    per-step unsort gather (~13 ms at 1M). Only the Barnes-Hut
-    tiles/pallas engine implements the contract today; every other method
-    returns None and callers use ``make_force_fn`` + plain stepping.
+    per-step unsort gather (~13 ms at 1M). The Barnes-Hut tiles/pallas
+    engine and the spatial-hash tiles engine implement the contract;
+    every other method returns None and callers use ``make_force_fn`` +
+    plain stepping.
     """
     if config.force_method == ForceMethod.BARNES_HUT:
         from nbody_tpu.ops.barnes_hut import make_barnes_hut_forces_sorted
 
         return make_barnes_hut_forces_sorted(config)
+    if config.force_method == ForceMethod.SPATIAL_HASH:
+        from nbody_tpu.ops.spatial_hash import (
+            make_spatial_hash_forces_sorted,
+        )
+
+        return make_spatial_hash_forces_sorted(config, pos_hint)
     return None
 
 

@@ -42,7 +42,8 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _near_kernel(tiles_hbm, acc_ref, *, k, ws, zp, c, m, eps, zero_guard):
+def _near_kernel(tiles_hbm, acc_ref, *, k, ws, zp, c, m, eps, zero_guard,
+                 cutoff2):
     """One (x-plane, lane-chunk) program.
 
     tiles_hbm: (D+2ws, 4, K, Lp) ANY — x-padded planes, lanes = flattened
@@ -54,7 +55,52 @@ def _near_kernel(tiles_hbm, acc_ref, *, k, ws, zp, c, m, eps, zero_guard):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
-    def inner(slab, sem):
+    # Slot rows are rank-ordered by construction (a particle gets slot
+    # `rank within cell`), so the k axis splits into GROUPS of 8 rows
+    # with monotone liveness: group g of a window is all-zero-mass unless
+    # some cell in it holds more than 8g particles. At mean occupancy ~4
+    # the tail groups (slots 8+) are live only in the dense core — the
+    # sweep's k² cost then tracks the LIVE occupancy, not the slot cap.
+    # Group 0 needs no guard inside a live chunk: rank-0 rows are
+    # populated wherever ANY particle is. Granularity matters: a per-ROW
+    # skip (one branch per 9 vector steps) measured 2.4–3.5× SLOWER than
+    # no skip at all — branches break Mosaic's software pipelining, so
+    # they must guard big straight-line blocks (27·8·GT steps here).
+    kg = 8
+    ng = -(-k // kg)
+
+    def _sweep_rows(slab, rows, tx, ty, tz, ax, ay, az):
+        """Accumulate all (2ws+1)³ offsets of source slot rows ``rows``
+        against the (GT, C) target block; each step broadcasts ONE source
+        row (1, C) and fma-accumulates — no cross-sublane reductions."""
+        for xo in range(w1):
+            for yo in range(-ws, ws + 1):
+                for zo in range(-ws, ws + 1):
+                    off = m + yo * zp + zo
+                    for ks in rows:
+                        sx = slab[xo, 0, ks, off:off + c]  # (C,)
+                        sy = slab[xo, 1, ks, off:off + c]
+                        sz = slab[xo, 2, ks, off:off + c]
+                        sm = slab[xo, 3, ks, off:off + c]
+                        dx = sx[None] - tx         # (GT, C)
+                        dy = sy[None] - ty
+                        dz = sz[None] - tz
+                        r2 = dx * dx + dy * dy + dz * dz
+                        inv = jax.lax.rsqrt(r2 + eps2)
+                        w = sm[None] * (inv * inv * inv)
+                        if cutoff2 is not None:
+                            # hash predicate: RAW r² vs cutoff², BEFORE
+                            # softening is added (reference:
+                            # force_spatial_hash.cu:120-139)
+                            w = jnp.where(r2 <= cutoff2, w, 0.0)
+                        if zero_guard:
+                            w = jnp.where(r2 == 0.0, 0.0, w)
+                        ax = ax + w * dx
+                        ay = ay + w * dy
+                        az = az + w * dz
+        return ax, ay, az
+
+    def inner(slab, tailx, taily, tailz, sem):
         cp = pltpu.make_async_copy(
             tiles_hbm.at[pl.ds(i, w1), :, :, pl.ds(j * c, c + 2 * m)],
             slab,
@@ -78,45 +124,78 @@ def _near_kernel(tiles_hbm, acc_ref, *, k, ws, zp, c, m, eps, zero_guard):
 
         @pl.when(t_any != 0.0)
         def _live_chunk():
-            # Target rows: central x-plane, unshifted lanes.
-            tx = slab[ws, 0, :, m:m + c]            # (K, C)
-            ty = slab[ws, 1, :, m:m + c]
-            tz = slab[ws, 2, :, m:m + c]
+            # Tail-source liveness over the FULL slab window (any plane,
+            # any margin lane that an offset can reach) — one scalar per
+            # tail group, hoisted out of the target loop.
+            tail_any = [
+                jnp.sum(slab[:, 3, g * kg:(g + 1) * kg, :])
+                for g in range(1, ng)
+            ]
 
-            # Source-broadcast accumulation: each (offset, source-slot)
-            # step broadcasts ONE source row (1, C) against the whole
-            # (K, C) target block and fma-accumulates — no cross-sublane
-            # reductions, no stacks, accumulators live across the sweep
-            # (3 × (K, C) vregs; chunk C is sized to keep the working
-            # set within the register budget).
-            ax = jnp.zeros((k, c), jnp.float32)
-            ay = jnp.zeros((k, c), jnp.float32)
-            az = jnp.zeros((k, c), jnp.float32)
-            for xo in range(w1):
-                for yo in range(-ws, ws + 1):
-                    for zo in range(-ws, ws + 1):
-                        off = m + yo * zp + zo
-                        for ks in range(k):
-                            sx = slab[xo, 0, ks, off:off + c]  # (C,)
-                            sy = slab[xo, 1, ks, off:off + c]
-                            sz = slab[xo, 2, ks, off:off + c]
-                            sm = slab[xo, 3, ks, off:off + c]
-                            dx = sx[None] - tx         # (K, C)
-                            dy = sy[None] - ty
-                            dz = sz[None] - tz
-                            r2 = dx * dx + dy * dy + dz * dz
-                            inv = jax.lax.rsqrt(r2 + eps2)
-                            w = sm[None] * (inv * inv * inv)
-                            if zero_guard:
-                                w = jnp.where(r2 == 0.0, 0.0, w)
-                            ax = ax + w * dx
-                            ay = ay + w * dy
-                            az = az + w * dz
-            acc_ref[0] = jnp.stack([ax, ay, az])  # (3, K, C)
+            for tg in range(ng):
+                r0, r1 = tg * kg, min((tg + 1) * kg, k)
+                gt = r1 - r0
+                # Target rows: central x-plane, unshifted lanes.
+                tx = slab[ws, 0, r0:r1, m:m + c]            # (GT, C)
+                ty = slab[ws, 1, r0:r1, m:m + c]
+                tz = slab[ws, 2, r0:r1, m:m + c]
+                tg_any = (
+                    t_any if ng == 1
+                    else jnp.sum(slab[ws, 3, r0:r1, m:m + c])
+                )
 
+                @pl.when(tg_any == 0.0)
+                def _dead_targets(r0=r0, gt=gt):
+                    acc_ref[0, :, r0:r0 + gt] = jnp.zeros(
+                        (3, gt, c), jnp.float32)
+
+                @pl.when(tg_any != 0.0)
+                def _live_targets(tg=tg, r0=r0, gt=gt,
+                                  tx=tx, ty=ty, tz=tz):
+                    # Head sources (slots 0..7): always live here, pure
+                    # register accumulation, branch-free.
+                    z = jnp.zeros((gt, c), jnp.float32)
+                    ax, ay, az = _sweep_rows(
+                        slab, range(0, min(kg, k)), tx, ty, tz, z, z, z)
+
+                    # Tail sources: one branch per group of 8 rows; the
+                    # dead branch writes zeros so the unconditional add
+                    # below is correct either way.
+                    for sg in range(1, ng):
+                        s0, s1 = sg * kg, min((sg + 1) * kg, k)
+
+                        @pl.when(tail_any[sg - 1] == 0.0)
+                        def _dead_tail():
+                            tailx[0:gt] = jnp.zeros((gt, c), jnp.float32)
+                            taily[0:gt] = jnp.zeros((gt, c), jnp.float32)
+                            tailz[0:gt] = jnp.zeros((gt, c), jnp.float32)
+
+                        @pl.when(tail_any[sg - 1] != 0.0)
+                        def _live_tail(s0=s0, s1=s1, gt=gt,
+                                       tx=tx, ty=ty, tz=tz):
+                            z = jnp.zeros((gt, c), jnp.float32)
+                            bx, by, bz = _sweep_rows(
+                                slab, range(s0, s1), tx, ty, tz, z, z, z)
+                            tailx[0:gt] = bx
+                            taily[0:gt] = by
+                            tailz[0:gt] = bz
+
+                        if ng > 1:
+                            ax = ax + tailx[0:gt]
+                            ay = ay + taily[0:gt]
+                            az = az + tailz[0:gt]
+
+                    acc_ref[0, 0, r0:r0 + gt] = ax
+                    acc_ref[0, 1, r0:r0 + gt] = ay
+                    acc_ref[0, 2, r0:r0 + gt] = az
+
+    scratch_rows = kg if ng > 1 else 1  # unused at ng == 1; keep tiny
     pl.run_scoped(
         inner,
         slab=pltpu.VMEM((w1, 4, k, c + 2 * m), jnp.float32),
+        tailx=pltpu.VMEM((scratch_rows, c), jnp.float32),
+        taily=pltpu.VMEM((scratch_rows, c), jnp.float32),
+        tailz=pltpu.VMEM((scratch_rows, c), jnp.float32),
         sem=pltpu.SemaphoreType.DMA(()),
     )
 
@@ -124,8 +203,8 @@ def _near_kernel(tiles_hbm, acc_ref, *, k, ws, zp, c, m, eps, zero_guard):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "d", "ws", "eps", "chunk", "pre_transposed", "raw_output",
-        "interpret",
+        "k", "d", "ws", "eps", "chunk", "cutoff2", "pre_transposed",
+        "raw_output", "interpret",
     ),
 )
 def tile_sweep_pallas(
@@ -136,6 +215,7 @@ def tile_sweep_pallas(
     ws: int,
     eps: float,
     chunk: int = 512,
+    cutoff2: float | None = None,
     pre_transposed: bool = False,
     raw_output: bool = False,
     interpret: bool = False,
@@ -174,6 +254,7 @@ def tile_sweep_pallas(
         functools.partial(
             _near_kernel, k=k, ws=ws, zp=zp, c=c, m=m, eps=float(eps),
             zero_guard=zero_guard,
+            cutoff2=None if cutoff2 is None else float(cutoff2),
         ),
         grid=(d, nc),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],

@@ -214,29 +214,259 @@ def _spatial_hash_forces(
     return G * acc
 
 
-def make_spatial_hash_forces(config: SimulationConfig):
+def spatial_hash_forces_tiles(
+    pos: jax.Array,
+    mass: jax.Array,
+    G: float = 1.0,
+    softening: float = 0.1,
+    *,
+    cutoff: float = 2.0,
+    cell_size: float = 1.0,
+    d: int = 64,
+    k: int = 8,
+    return_overflow: bool = False,
+    impl: str | None = None,
+    sorted_output: bool = False,
+):
+    """Sparse-regime short-range engine: dense per-cell slot tiles.
+
+    Same pair predicate as the window engine (cutoff² on the RAW r²
+    before softening, 3×3×3 neighbor cells — reference
+    force_spatial_hash.cu:83-152) but a different acceleration structure:
+    a (d³, k) slot tensor on a STATIC power-of-two grid, swept by the
+    Barnes-Hut tile kernel (ops/pallas_tile_near.py) with its per-row
+    occupancy skip. At ~1 particle/cell the sorted-window engine is
+    block-span-bound (~2700 tests per target against ~27 real
+    neighbors); here the sweep cost tracks the LIVE occupancy instead.
+
+    Particles beyond ``k`` in a cell (including bbox-clamp pile-ups when
+    the box outgrows d·cell_size) lose their short-range term and are
+    counted in the overflow audit — the same graceful-degradation
+    contract as the window engine's capacity caps.
+    """
+    if impl is None:
+        from nbody_tpu.ops.barnes_hut import resolve_impl
+
+        impl = resolve_impl("NBODY_PALLAS_NEAR")
+    return _spatial_hash_forces_tiles(
+        pos, mass, G, softening,
+        cutoff=cutoff, cell_size=cell_size, d=d, k=k,
+        return_overflow=return_overflow, impl=impl,
+        sorted_output=sorted_output,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "G", "softening", "cutoff", "cell_size", "d", "k",
+        "return_overflow", "impl", "sorted_output",
+    ),
+)
+def _spatial_hash_forces_tiles(
+    pos, mass, G, softening, *, cutoff, cell_size, d, k,
+    return_overflow, impl, sorted_output,
+):
+    from nbody_tpu.ops.tile_sweep import tile_near_field
+
+    lo = jnp.min(pos, axis=0)
+    coords = jnp.clip(
+        jnp.floor((pos - lo) / cell_size).astype(jnp.int32), 0, d - 1
+    )
+    acc, overflow = tile_near_field(
+        pos, mass, coords, lo, jnp.asarray(cell_size, pos.dtype),
+        d=d, ws=1, k=k, G=G, eps=softening, impl=impl,
+        cutoff2=float(cutoff) * float(cutoff),
+        sorted_output=sorted_output,
+    )
+    if return_overflow:
+        return acc, overflow
+    return acc
+
+
+def spatial_hash_forces_tiles_sorted(
+    pos, mass, G=1.0, softening=0.1, *,
+    cutoff=2.0, cell_size=1.0, d=64, k=8, impl=None,
+):
+    """Sorted-pipeline hash-tiles forces → ``(acc_sorted, psort, order)``.
+
+    The same physics as ``spatial_hash_forces_tiles`` but outputs stay in
+    the engine's internal CELL-SORTED row order (the contract of
+    ops/integrator.make_sorted_multi_step — see
+    ops/barnes_hut.barnes_hut_forces_sorted): steps in sorted order skip
+    the per-step unsort gather.
+    """
+    if impl is None:
+        from nbody_tpu.ops.barnes_hut import resolve_impl
+
+        impl = resolve_impl("NBODY_PALLAS_NEAR")
+    return _spatial_hash_tiles_sorted(
+        pos, mass, G, softening, cutoff=cutoff, cell_size=cell_size,
+        d=d, k=k, impl=impl,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("G", "softening", "cutoff", "cell_size", "d", "k",
+                     "impl"),
+)
+def _spatial_hash_tiles_sorted(
+    pos, mass, G, softening, *, cutoff, cell_size, d, k, impl
+):
+    from nbody_tpu.ops.sorted_window import build_sorted_grid
+    from nbody_tpu.ops.tile_sweep import tile_near_field
+
+    lo = jnp.min(pos, axis=0)
+    coords = jnp.clip(
+        jnp.floor((pos - lo) / cell_size).astype(jnp.int32), 0, d - 1
+    )
+    grid = build_sorted_grid(pos, mass, coords, d)
+    acc, _over = tile_near_field(
+        pos, mass, coords, lo, jnp.asarray(cell_size, pos.dtype),
+        d=d, ws=1, k=k, G=G, eps=softening, grid=grid, impl=impl,
+        cutoff2=float(cutoff) * float(cutoff), sorted_output=True,
+    )
+    return acc, grid.psort, grid.order
+
+
+def make_spatial_hash_forces_sorted(
+    config: SimulationConfig, pos_hint=None
+):
+    """Sorted-pipeline strategy factory, or None when the resolved engine
+    has no sorted contract (only the tiles engine steps in sorted order;
+    callers fall back to plain stepping + unsort)."""
+    p = hash_engine_params(config, pos_hint)
+    if p["engine"] != "tiles":
+        return None
+    G = config.G
+    eps = config.softening
+    cutoff = config.spatial_hash_cutoff
+    cell = config.spatial_hash_cell_size
+    tile_d, tile_k = p["tile_d"], p["tile_k"]
+
+    def sorted_force_fn(pos, mass):
+        return spatial_hash_forces_tiles_sorted(
+            pos, mass, G, eps, cutoff=cutoff, cell_size=cell,
+            d=tile_d, k=tile_k,
+        )
+
+    sorted_force_fn.engine_params = p
+    return sorted_force_fn
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, int(x - 1).bit_length())
+
+
+def hash_engine_params(config: SimulationConfig, pos=None) -> dict:
+    """Engine selection for a config — the SINGLE source of truth shared
+    by ``make_spatial_hash_forces`` and ``ParticleSystem.audit_short_range``
+    (same contract as ops/barnes_hut.bh_engine_params).
+
+    Hash grid dims are bbox-dependent, so — unlike Barnes-Hut, whose
+    occupancy is static in the level count — "auto" needs concrete
+    particle positions to resolve. Pass ``pos`` (any array-like; pulled
+    to host once, outside jit) to enable the density probe; without it
+    "auto" falls back to the window engine, the density-safe default.
+
+    Returns a dict with engine ("window"/"tiles"), window, block,
+    tile_d, tile_k.
+    """
+    import math
+
+    import numpy as np
+
+    engine = config.hash_engine
+    window, block = hash_window_defaults(config)
+    k = config.hash_tile_k
+    tile_d = config.hash_max_grid_dim  # fallback when no probe ran
+    occupancy = None
+    if pos is not None:
+        p = np.asarray(pos)
+        lo = p.min(axis=0)
+        ext = float((p.max(axis=0) - lo).max())
+        cell = config.spatial_hash_cell_size
+        need_d = max(4, int(math.ceil(ext / cell + 1e-6)) + 1)
+        # Largest feasible pow2 grid: one-hot dest ids must stay f32-exact
+        # (d³·k ≤ 2²⁴, pallas_scatter SENTINEL contract).
+        d = _next_pow2(need_d)
+        while d > 4 and d * d * d * k > (1 << 24):
+            d //= 2
+        tile_d = d
+        covers = d >= need_d
+        coords = np.clip(
+            np.floor((p - lo) / cell).astype(np.int64), 0, d - 1
+        )
+        ids = (coords[:, 0] * d + coords[:, 1]) * d + coords[:, 2]
+        occupied = len(np.unique(ids))
+        occupancy = p.shape[0] / max(occupied, 1)
+        if engine == "auto":
+            # Tiles win while live-occupancy ≲ k; beyond that the slot
+            # grid both overflows and loses its padding advantage.
+            engine = (
+                "tiles" if covers and occupancy <= max(4.0, k / 2) else
+                "window"
+            )
+    if engine == "auto":
+        engine = "window"
+    return {
+        "engine": engine,
+        "window": window,
+        "block": block,
+        "tile_d": tile_d,
+        "tile_k": k,
+        "occupancy": occupancy,
+    }
+
+
+def make_spatial_hash_forces(config: SimulationConfig, pos_hint=None):
     """Strategy factory (reference: SpatialHashCalculator,
-    force_spatial_hash.cu:364-377)."""
+    force_spatial_hash.cu:364-377). ``pos_hint`` (optional concrete
+    positions) lets ``hash_engine=auto`` resolve from the measured
+    density — the facade passes its live state here."""
     G = config.G
     eps = config.softening
     cutoff = config.spatial_hash_cutoff
     cell = config.spatial_hash_cell_size
     cap = config.hash_max_grid_dim
-    window, block = hash_window_defaults(config)
+    p = hash_engine_params(config, pos_hint)
 
-    def force_fn(pos, mass):
-        return spatial_hash_forces(
-            pos,
-            mass,
-            G,
-            eps,
-            cutoff=cutoff,
-            cell_size=cell,
-            cap=cap,
-            window=window,
-            block_size=block,
-        )
+    if p["engine"] == "tiles":
+        tile_d, tile_k = p["tile_d"], p["tile_k"]
 
+        def force_fn(pos, mass):
+            return spatial_hash_forces_tiles(
+                pos,
+                mass,
+                G,
+                eps,
+                cutoff=cutoff,
+                cell_size=cell,
+                d=tile_d,
+                k=tile_k,
+            )
+
+    else:
+        window, block = p["window"], p["block"]
+
+        def force_fn(pos, mass):
+            return spatial_hash_forces(
+                pos,
+                mass,
+                G,
+                eps,
+                cutoff=cutoff,
+                cell_size=cell,
+                cap=cap,
+                window=window,
+                block_size=block,
+            )
+
+    # Audit contract: ParticleSystem.audit_short_range reads the RESOLVED
+    # engine params off the live closure, so the audit always measures
+    # the configuration this force_fn actually runs.
+    force_fn.engine_params = p
     return force_fn
 
 

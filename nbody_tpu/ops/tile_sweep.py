@@ -46,8 +46,13 @@ def tile_near_field(
     grid=None,
     impl: str | None = None,
     sorted_output: bool = False,
+    cutoff2: float | None = None,
 ):
     """Exact near-field acceleration within the (2ws+1)³ cell ball.
+
+    ``cutoff2`` adds the spatial-hash pair predicate (RAW r² ≤ cutoff²,
+    tested BEFORE softening — reference force_spatial_hash.cu:120-139),
+    turning this into the sparse-regime short-range engine.
 
     Returns (acc (N, 3) in original order, overflow count). Pass a
     prebuilt ``grid`` (build_sorted_grid output for the same coords) to
@@ -87,10 +92,12 @@ def tile_near_field(
         impl in ("pallas", "pallas_interpret")
         # output blocks need 128-aligned lanes
         and r_chunk >= 128
-        # one-hot dest ids ride in f32: exact only below 2^24
+        # the sweep kernel's slot GROUPS are 8-sublane blocks
+        and (k <= 8 or k % 8 == 0)
+        # one-hot dest ids ride in f32: integers are exact up to 2^24
         # (pallas_scatter.SENTINEL contract) — larger grids would DROP
         # rows silently, so they take the XLA path instead
-        and m < (1 << 24)
+        and m <= (1 << 24)
     )
     if pallas_ok:
         # ("pallas_interpret" runs the same pipeline in interpret mode on
@@ -158,7 +165,8 @@ def tile_near_field(
         # options remain for future layout experiments.
         tiles_t = tiles_cm.reshape(4, d, d, d, k).transpose(4, 0, 1, 2, 3)
         acc_slots = tile_sweep_pallas(
-            tiles_t, k=k, d=d, ws=ws, eps=eps, interpret=_interp
+            tiles_t, k=k, d=d, ws=ws, eps=eps, cutoff2=cutoff2,
+            interpret=_interp,
         )
         acc = _slot_pickup(acc_slots, grid, ids_sorted, rank_sorted, k, n, G,
                            sorted_output=sorted_output)
@@ -200,6 +208,8 @@ def tile_near_field(
             r2_raw = dx * dx + dy * dy + dz * dz
             inv = jax.lax.rsqrt(r2_raw + eps2)
             w = sm * (inv * inv * inv)    # empty slots: m = 0 ⇒ w = 0
+            if cutoff2 is not None:
+                w = jnp.where(r2_raw <= cutoff2, w, 0.0)
             w = jnp.where(r2_raw == 0.0, 0.0, w)
             rows.append(
                 jnp.stack(

@@ -59,7 +59,7 @@ class ParticleSystem:
         validate_resource_requirements(config.particle_count)
         self._config = config
         state = init_from_config(config)
-        self._rebuild_strategy()
+        self._rebuild_strategy(pos_hint=state.pos)
         self._state = initialize_forces(state, self._force_fn)
         self._paused = False
         self._initialized = True
@@ -68,9 +68,16 @@ class ParticleSystem:
         if not self._initialized:
             raise ValidationError("ParticleSystem is not initialized")
 
-    def _rebuild_strategy(self):
-        """Rebuild force closure + jitted step for the current config."""
-        self._force_fn = make_force_fn(self._config)
+    def _rebuild_strategy(self, pos_hint=None):
+        """Rebuild force closure + jitted step for the current config.
+
+        ``pos_hint`` (concrete positions) feeds data-dependent engine
+        auto-selection (hash window-vs-tiles); live setters pass the
+        current state so ``hash_engine=auto`` re-resolves on rebuild.
+        """
+        if pos_hint is None and self._state is not None:
+            pos_hint = self._state.pos
+        self._force_fn = make_force_fn(self._config, pos_hint=pos_hint)
         self._step = jax.jit(make_verlet_step(self._force_fn, self._config.dt))
 
     # ---- stepping --------------------------------------------------------
@@ -271,25 +278,48 @@ class ParticleSystem:
         out = {"method": cfg.force_method.cli_name, "overflow": 0}
         if cfg.force_method == ForceMethod.SPATIAL_HASH:
             from nbody_tpu.ops.spatial_hash import (
-                hash_window_defaults,
+                hash_engine_params,
                 spatial_hash_forces,
+                spatial_hash_forces_tiles,
             )
 
-            window, block = hash_window_defaults(cfg)
-            _, overflow = spatial_hash_forces(
-                state.pos,
-                state.mass,
-                cfg.G,
-                cfg.softening,
-                cutoff=cfg.spatial_hash_cutoff,
-                cell_size=cfg.spatial_hash_cell_size,
-                cap=cfg.hash_max_grid_dim,
-                window=window,
-                block_size=block,
-                return_overflow=True,
-            )
+            # Audit the configuration production actually runs: the
+            # factory attached its RESOLVED params to the live closure
+            # (auto-resolution is data-dependent, so re-resolving here
+            # could disagree after the distribution evolved).
+            p = getattr(self._force_fn, "engine_params", None)
+            if p is None:
+                p = hash_engine_params(cfg, state.pos)
+            if p["engine"] == "tiles":
+                _, overflow = spatial_hash_forces_tiles(
+                    state.pos,
+                    state.mass,
+                    cfg.G,
+                    cfg.softening,
+                    cutoff=cfg.spatial_hash_cutoff,
+                    cell_size=cfg.spatial_hash_cell_size,
+                    d=p["tile_d"],
+                    k=p["tile_k"],
+                    return_overflow=True,
+                )
+                out["tile_d"] = p["tile_d"]
+                out["tile_k"] = p["tile_k"]
+            else:
+                _, overflow = spatial_hash_forces(
+                    state.pos,
+                    state.mass,
+                    cfg.G,
+                    cfg.softening,
+                    cutoff=cfg.spatial_hash_cutoff,
+                    cell_size=cfg.spatial_hash_cell_size,
+                    cap=cfg.hash_max_grid_dim,
+                    window=p["window"],
+                    block_size=p["block"],
+                    return_overflow=True,
+                )
+                out["window"] = p["window"]
             out["overflow"] = int(overflow)
-            out["window"] = window
+            out["engine"] = p["engine"]
         elif cfg.force_method == ForceMethod.BARNES_HUT:
             import jax.numpy as jnp
 

@@ -131,6 +131,18 @@ class SimulationConfig:
     # Sorted-window sweep width (0 = auto from N). Density-sensitive: audit
     # with ParticleSystem.audit_short_range() — overflow must read 0.
     hash_window: int = 0
+    # Spatial hash short-range engine: "window" (sorted z-run sweeps, the
+    # dense-scene engine), "tiles" (dense per-cell slot tiles on a
+    # power-of-two grid — the sparse-scene engine; the sorted-window sweep
+    # is block-span-bound at ~1 particle/cell), or "auto" (resolved from
+    # the concrete particle distribution where one is available — the
+    # facade resolves at initialize(); bare factories fall back to
+    # "window", the density-safe default).
+    hash_engine: str = "auto"
+    # Tile-engine slot capacity per cell (k). Sweep cost scales with the
+    # LIVE k (per-row occupancy skip), build with total k; particles
+    # beyond k in a cell lose their short-range term and are audited.
+    hash_tile_k: int = 8
     # Barnes-Hut multipole grid: finest level (2^level cells per axis).
     bh_max_level: int = 6
     # Multi-chip: number of devices to shard the particle axis over

@@ -14,6 +14,24 @@ def test_hash_audit_clean():
     audit = s.audit_short_range()
     assert audit["method"] == "spatial-hash"
     assert audit["overflow"] == 0
+    # hash_engine=auto resolves from the concrete density: the default
+    # 2000-particle spherical scene is sparse (~1/cell) → tiles engine
+    assert audit["engine"] == "tiles"
+    assert audit["tile_k"] == 8
+
+
+def test_hash_audit_window_engine():
+    s = ParticleSystem()
+    s.initialize(
+        SimulationConfig(
+            particle_count=2000,
+            force_method=ForceMethod.SPATIAL_HASH,
+            hash_engine="window",
+        )
+    )
+    audit = s.audit_short_range()
+    assert audit["engine"] == "window"
+    assert audit["overflow"] == 0
     assert audit["window"] >= 512
 
 

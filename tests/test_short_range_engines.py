@@ -125,3 +125,139 @@ def test_window_overflow_counted(key):
         pair_weight=pw, window=64, block_size=64,
     )
     assert int(over) > 0
+
+
+# ---------------------------------------------------------------------------
+# Spatial-hash tiles engine (sparse-regime): cutoff predicate + selection
+# ---------------------------------------------------------------------------
+
+
+def brute_cutoff(pos, mass, G, eps, cutoff):
+    """All-pairs with the hash predicate: RAW r² ≤ cutoff², then soften
+    (reference force_spatial_hash.cu:120-139)."""
+    pos = np.asarray(pos, np.float64)
+    mass = np.asarray(mass, np.float64)
+    d = pos[None, :, :] - pos[:, None, :]
+    r2 = (d * d).sum(-1)
+    keep = (r2 <= cutoff * cutoff) & (r2 > 0)
+    w = np.where(keep, mass[None, :] * (r2 + eps * eps) ** -1.5, 0.0)
+    return G * np.einsum("ij,ijd->id", w, d)
+
+
+def _uniform_cube(key, n, side):
+    from nbody_tpu.models import init_uniform
+    from nbody_tpu.types import UniformDistParams
+
+    h = side / 2.0
+    return init_uniform(
+        key, n,
+        UniformDistParams(min_bounds=(-h, -h, -h), max_bounds=(h, h, h)),
+    )
+
+
+def test_hash_tiles_matches_brute_cutoff(key):
+    """Tiles engine == brute force when cell_size ≥ cutoff (the exactness
+    regime both hash engines share)."""
+    from nbody_tpu.ops.spatial_hash import spatial_hash_forces_tiles
+
+    s = _uniform_cube(key, 400, side=12.0)
+    acc, over = spatial_hash_forces_tiles(
+        s.pos, s.mass, 1.0, 0.1, cutoff=1.5, cell_size=1.5, d=16, k=16,
+        return_overflow=True,
+    )
+    assert int(over) == 0
+    ref = brute_cutoff(s.pos, s.mass, 1.0, 0.1, 1.5)
+    np.testing.assert_allclose(np.asarray(acc), ref, rtol=1e-3, atol=1e-4)
+
+
+def test_hash_engines_match_each_other(key):
+    """Window and tiles engines agree on the same scene/physics."""
+    from nbody_tpu.ops.spatial_hash import (
+        spatial_hash_forces,
+        spatial_hash_forces_tiles,
+    )
+
+    s = _uniform_cube(key, 1500, side=14.0)
+    kw = dict(cutoff=1.5, cell_size=1.5)
+    acc_w, over_w = spatial_hash_forces(
+        s.pos, s.mass, 1.0, 0.1, cap=16, window=1024, block_size=128,
+        return_overflow=True, **kw,
+    )
+    acc_t, over_t = spatial_hash_forces_tiles(
+        s.pos, s.mass, 1.0, 0.1, d=16, k=16, return_overflow=True, **kw,
+    )
+    assert int(over_w) == 0 and int(over_t) == 0
+    np.testing.assert_allclose(
+        np.asarray(acc_w), np.asarray(acc_t), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_hash_tiles_momentum_conservation(key):
+    from nbody_tpu.ops.spatial_hash import spatial_hash_forces_tiles
+
+    s = _uniform_cube(key, 800, side=10.0)
+    acc = spatial_hash_forces_tiles(
+        s.pos, s.mass, 1.0, 0.1, cutoff=2.0, cell_size=2.0, d=8, k=32,
+    )
+    total = np.asarray((acc * s.mass[:, None]).sum(axis=0))
+    np.testing.assert_allclose(total, 0.0, atol=1e-3)
+
+
+def test_hash_engine_params_auto_resolution(key):
+    """auto → tiles on a sparse scene, window on a dense one, and the
+    density-safe window fallback without a position probe."""
+    from nbody_tpu.ops.spatial_hash import hash_engine_params
+    from nbody_tpu.types import SimulationConfig
+
+    cfg = SimulationConfig(particle_count=2000, hash_engine="auto")
+    # no probe → window
+    assert hash_engine_params(cfg)["engine"] == "window"
+    # sparse: ~0.25 particles per unit³ cell
+    sparse = _uniform_cube(key, 2000, side=20.0)
+    p = hash_engine_params(cfg, sparse.pos)
+    assert p["engine"] == "tiles"
+    assert p["tile_d"] >= 21  # grid covers the box
+    assert p["occupancy"] <= 4.0
+    # dense: 2000 particles in ~8 cells
+    dense = _uniform_cube(key, 2000, side=2.0)
+    assert hash_engine_params(cfg, dense.pos)["engine"] == "window"
+    # explicit override wins over the probe
+    cfg_w = cfg.replace(hash_engine="window")
+    assert hash_engine_params(cfg_w, sparse.pos)["engine"] == "window"
+    cfg_t = cfg.replace(hash_engine="tiles")
+    assert hash_engine_params(cfg_t)["engine"] == "tiles"
+
+
+def test_facade_auto_engine_and_audit(key):
+    """The facade resolves auto from its initial state; the audit reports
+    the engine the live force closure actually runs."""
+    import nbody_tpu as nb
+    from nbody_tpu.types import (
+        ForceMethod,
+        InitDistribution,
+        UniformDistParams,
+    )
+
+    cfg = nb.SimulationConfig(
+        particle_count=1500,
+        force_method=ForceMethod.SPATIAL_HASH,
+        init_distribution=InitDistribution.UNIFORM,
+        dist_params=UniformDistParams(
+            min_bounds=(-8.0, -8.0, -8.0), max_bounds=(8.0, 8.0, 8.0)
+        ),
+        spatial_hash_cell_size=2.0,
+        spatial_hash_cutoff=2.0,
+        hash_tile_k=16,  # occ ≈ 2.9 ⇒ Poisson tail past 8 is likely at
+        # 512 cells; 16 makes overflow == 0 a safe assertion
+    )
+    s = nb.ParticleSystem()
+    s.initialize(cfg)
+    p = s._force_fn.engine_params
+    assert p["engine"] == "tiles"  # 1500 particles / 512 cells ≈ 2.9
+    audit = s.audit_short_range()
+    assert audit["engine"] == "tiles"
+    assert audit["overflow"] == 0
+    assert audit["tile_k"] == cfg.hash_tile_k
+    for _ in range(3):
+        s.update()
+    assert bool(jnp.isfinite(s._state.pos).all())
