@@ -73,6 +73,14 @@ def main():
         from nbody_tpu.models.distributions import init_uniform
         from nbody_tpu.types import UniformDistParams
 
+        if method == ForceMethod.SPATIAL_HASH:
+            # Exactness regime (cell_size = cutoff): every pair within
+            # the cutoff is found — the honest configuration for a
+            # published number (with cell < cutoff BOTH the reference
+            # and this engine silently skip pairs beyond one cell).
+            # Density ~1/unit³ ⇒ ~8 particles per 2-unit cell: the
+            # regime the tiles engine auto-selects on.
+            config = config.replace(spatial_hash_cell_size=2.0)
         half = max(10.0, float(n) ** (1.0 / 3.0)) / 2.0
         state = init_uniform(
             jax.random.PRNGKey(42),

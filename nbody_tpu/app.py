@@ -200,18 +200,31 @@ class Application:
         # between ImGui buttons and the main loop (main.cpp:195-216).
         panel = UIPanel()
         renderer = None
-        if o.render:
-            from nbody_tpu.render import Camera, PointRenderer
+        live_view = None
+        stream = None
+        if o.render or o.live:
+            from nbody_tpu.render import Camera
             from nbody_tpu.render.stream import PointStream
 
             # 3/4 view: disks and spheres both read well
             camera = Camera(distance=45.0, azimuth=0.7, elevation=0.75)
-            renderer = PointRenderer(camera=camera)
             stream = PointStream(self.system)
+            if o.render:
+                from nbody_tpu.render import PointRenderer
+
+                renderer = PointRenderer(camera=camera)
+            if o.live:
+                # Live display on a headless TPU host: ANSI in-place
+                # terminal raster (the reference's GLFW window analogue,
+                # main.cpp:307-331).
+                from nbody_tpu.render.terminal import TerminalView
+
+                live_view = TerminalView(camera=camera)
 
         steps = o.steps if o.steps > 0 else 1000
         fps_t0 = time.perf_counter()
         fps_frames = 0
+        self._stats_line = ""
         interactive_tty = sys.stdin.isatty()
         color_modes = list(__import__("nbody_tpu.types", fromlist=["ColorMode"]).ColorMode)
         color_idx = 0
@@ -223,6 +236,8 @@ class Application:
                     action = key_to_action(key)
                     if action == "quit":
                         self.system.block_until_ready()
+                        if live_view is not None:
+                            live_view.close()
                         self._export_if_requested()
                         print(json.dumps({"steps": frame, "quit": True}))
                         return 0
@@ -255,7 +270,7 @@ class Application:
                 self.system.set_force_method(new_method)
             self.system.update()
             fps_frames += 1
-            if renderer is not None:
+            if stream is not None:
                 # Pipelined readback: resolve LAST frame's async copy
                 # (it overlapped with this frame's update), then kick off
                 # this frame's — the double buffer actually overlaps
@@ -263,14 +278,18 @@ class Application:
                 snap = stream.latest() if frame > 0 else None
                 stream.request()
                 if snap is not None:
-                    img = renderer.render(snap.positions, snap.velocities)
-                    if o.render_output:
-                        import os
+                    if renderer is not None:
+                        img = renderer.render(snap.positions, snap.velocities)
+                        if o.render_output:
+                            import os
 
-                        os.makedirs(o.render_output, exist_ok=True)
-                        renderer.save_png(
-                            img, f"{o.render_output}/frame_{snap.frame_id:05d}.png"
-                        )
+                            os.makedirs(o.render_output, exist_ok=True)
+                            renderer.save_png(
+                                img,
+                                f"{o.render_output}/frame_{snap.frame_id:05d}.png",
+                            )
+                    if live_view is not None:
+                        live_view.draw(snap.positions, self._stats_line)
             now = time.perf_counter()
             if now - fps_t0 >= 1.0:  # per-second stats (main.cpp:161-178)
                 self.system.block_until_ready()
@@ -287,10 +306,14 @@ class Application:
                         method=o.force_method.cli_name,
                         sim_time=self.system.simulation_time,
                     )
-                print(line, file=sys.stderr)
+                self._stats_line = line
+                if live_view is None:  # the live raster carries its own
+                    print(line, file=sys.stderr)
                 fps_t0, fps_frames = now, 0
 
         self.system.block_until_ready()
+        if live_view is not None:
+            live_view.close()
         self._export_if_requested()
         if self.system.particle_count <= 100_000:
             energy = self.system.compute_total_energy()

@@ -50,6 +50,7 @@ class AppCliOptions:
     show_help: bool = False
     render: bool = False
     render_output: str = ""
+    live: bool = False  # ANSI terminal live view (headless GLFW analogue)
     devices: int = 1
     steps: int = 0  # 0 = run until interrupted (interactive)
     debug_nans: bool = False  # NaN tracing (SURVEY.md §5.2 analogue)
@@ -262,6 +263,8 @@ def parse_app_cli_options(argv: List[str]) -> AppCliOptions:
         elif a == "--render-output":
             o.render_output = need_value(a)
             o.render = True
+        elif a == "--live":
+            o.live = True
         elif a == "--devices":
             o.devices = _parse_int(need_value(a), a)
         elif a == "--debug-nans":
@@ -365,6 +368,7 @@ Data export/import:
 Rendering (host-side point renderer):
   --render               Render frames while stepping
   --render-output DIR    Write PNG frames to DIR
+  --live                 Live ANSI terminal view (in-place redraw)
 
 Diagnostics:
   --list-algorithms      Print the force methods and exit

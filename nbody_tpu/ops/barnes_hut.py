@@ -183,8 +183,21 @@ def _sorted_finest_moments(
     r_chunk, w_win = 256, 2560
     n_chunks = -(-nc // r_chunk)
     car = jnp.arange(n_chunks, dtype=jnp.int32)
-    starts = grid.cell_start[jnp.minimum(car * r_chunk, nc)]
-    ends = grid.cell_start[jnp.minimum((car + 1) * r_chunk, nc)]
+    # chunk-boundary starts: from the d³ segment index when the grid
+    # carries one, else a few thousand searchsorted queries
+    # (build_sorted_grid(with_cell_start=False), large grids)
+    from nbody_tpu.ops.sorted_window import cell_starts_at
+
+    if grid.cell_start is not None:
+        starts = grid.cell_start[jnp.minimum(car * r_chunk, nc)]
+        ends = grid.cell_start[jnp.minimum((car + 1) * r_chunk, nc)]
+    else:
+        starts = cell_starts_at(
+            ids_sorted, jnp.minimum(car * r_chunk, nc)
+        )
+        ends = cell_starts_at(
+            ids_sorted, jnp.minimum((car + 1) * r_chunk, nc)
+        )
     miss = jnp.sum(
         jnp.maximum(ends - (starts // 128) * 128 - w_win, 0)
     )
@@ -937,7 +950,16 @@ def _barnes_hut_forces(
             jnp.min(pos, axis=0), jnp.max(pos, axis=0), levels
         )
         coords = jnp.clip(((pos - lo) / cell).astype(jnp.int32), 0, d - 1)
-        grid = build_sorted_grid(pos, mass, coords, d)
+        # Full d³ segment index up to the measured crossover (grid build
+        # 9.8 ms full vs 14.8 ms light at 1M/d=64 — the 1M-row cummax in
+        # sorted_ranks costs more than the scatter-min it avoids); light
+        # build only for large grids where the d³ work dominates.
+        from nbody_tpu.ops.sorted_window import use_full_cell_start
+
+        grid = build_sorted_grid(
+            pos, mass, coords, d,
+            with_cell_start=use_full_cell_start(d * d * d),
+        )
         ids_sorted = (
             grid.csort[:, 0] * d + grid.csort[:, 1]
         ) * d + grid.csort[:, 2]

@@ -111,17 +111,24 @@ def _kernel(
     c = pl.program_id(0)
 
     # Filler: cell centers, mass 0. cell = dest_row // k (constant
-    # divisor); d is a power of two -> shift/mask 3-D decode. Computed
+    # divisor); a power-of-two d decodes with shift/mask, any other d
+    # with constant-divisor div/mod (both are vector int ops). Computed
     # unconditionally — it is also the whole output of empty chunks
     # (~45% of chunks on a spherical scene are outside the ball; they
     # skip the DMA + matmul entirely).
     row0 = c * r
     dest_lanes = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1) + row0
     cell = dest_lanes // k
-    dbits = d.bit_length() - 1
-    cz = cell & (d - 1)
-    cy = (cell >> dbits) & (d - 1)
-    cx = cell >> (2 * dbits)
+    if d & (d - 1) == 0:
+        dbits = d.bit_length() - 1
+        cz = cell & (d - 1)
+        cy = (cell >> dbits) & (d - 1)
+        cx = cell >> (2 * dbits)
+    else:
+        cz = cell % d
+        cyx = cell // d
+        cy = cyx % d
+        cx = cyx // d
     lo_x = geom_ref[0, 0]
     lo_y = geom_ref[0, 1]
     lo_z = geom_ref[0, 2]

@@ -67,21 +67,39 @@ def unsort_rows(rows_sorted: jax.Array, order: jax.Array) -> jax.Array:
 
 
 def build_sorted_grid(
-    pos: jax.Array, mass: jax.Array, coords: jax.Array, d: int
+    pos: jax.Array,
+    mass: jax.Array,
+    coords: jax.Array,
+    d: int,
+    with_cell_start: bool = True,
 ) -> SortedGrid:
     """Counting sort by cell id (the XLA form of the reference's histogram +
-    exclusive_scan + scatter pipeline, force_spatial_hash.cu:52-80)."""
+    exclusive_scan + scatter pipeline, force_spatial_hash.cu:52-80).
+
+    ``with_cell_start=False`` skips the full per-cell segment index (a
+    1M-row scatter-min + d³ cummin): worthwhile only for LARGE grids
+    (see ``use_full_cell_start`` — at d ≤ 64 the full build is measured
+    FASTER than the ``sorted_ranks`` cummax + ``cell_starts_at``
+    searchsorted that replace it). The WINDOW engine indexes cell_start
+    per cell and always needs the eager build.
+    """
     n = pos.shape[0]
     num_cells = d * d * d
     ids = (coords[:, 0] * d + coords[:, 1]) * d + coords[:, 2]
     order = jnp.argsort(ids).astype(jnp.int32)
     sorted_ids = ids[order]
-    arange = jnp.arange(n, dtype=jnp.int32)
-    first = jnp.full((num_cells + 1,), n, jnp.int32).at[sorted_ids].min(arange)
-    # empty cells inherit the next occupied cell's start (reverse cummin)
-    cell_start = jnp.flip(
-        jax.lax.cummin(jnp.flip(first))
-    )
+    if with_cell_start:
+        arange = jnp.arange(n, dtype=jnp.int32)
+        first = (
+            jnp.full((num_cells + 1,), n, jnp.int32)
+            .at[sorted_ids]
+            .min(arange)
+        )
+        # empty cells inherit the next occupied cell's start (reverse
+        # cummin)
+        cell_start = jnp.flip(jax.lax.cummin(jnp.flip(first)))
+    else:
+        cell_start = None
     psort = jnp.concatenate([pos, mass[:, None]], axis=-1)[order]
     return SortedGrid(
         order=order,
@@ -89,6 +107,50 @@ def build_sorted_grid(
         csort=coords[order],
         cell_start=cell_start,
     )
+
+
+# Grid-size crossover for the full cell_start build (measured r3, 1M
+# rows on v5e): at d=64 (262K cells) the full scatter-min+cummin build
+# is FASTER than the light path (grid build 9.8 vs 14.8 ms — the 1M-row
+# cummax in sorted_ranks costs more than the d³ index it avoids); at
+# d=128 (2.1M cells) the d³ work dominates (25.9 ms) and the light path
+# wins. Callers build the full index up to this cell count.
+FULL_CELL_START_MAX_CELLS = 1 << 19
+
+
+def use_full_cell_start(num_cells: int) -> bool:
+    """Measured crossover: build the d³ segment index for small grids,
+    use sorted_ranks/cell_starts_at beyond it (see constant above)."""
+    return num_cells <= FULL_CELL_START_MAX_CELLS
+
+
+def sorted_ranks(sorted_ids: jax.Array) -> jax.Array:
+    """Per-row rank within its cell run, from SORTED cell ids — O(N)
+    vector work, no segment index: run starts are the positions where the
+    id changes, and a cummax of (boundary ? index : 0) broadcasts each
+    run's start forward (indices are increasing, so the max IS the most
+    recent boundary)."""
+    n = sorted_ids.shape[0]
+    arange = jnp.arange(n, dtype=jnp.int32)
+    boundary = jnp.concatenate(
+        [
+            jnp.ones((1,), jnp.bool_),
+            sorted_ids[1:] != sorted_ids[:-1],
+        ]
+    )
+    run_start = jax.lax.cummax(jnp.where(boundary, arange, 0))
+    return arange - run_start
+
+
+def cell_starts_at(sorted_ids: jax.Array, cells: jax.Array) -> jax.Array:
+    """cell_start values at the given cell ids only — identical to
+    ``SortedGrid.cell_start[cells]`` (first sorted index with id ≥ cell)
+    but via a searchsorted over len(cells) queries instead of building
+    the full d³ index (the tile engines query a few thousand chunk
+    boundaries, not every cell)."""
+    return jnp.searchsorted(
+        sorted_ids, cells.astype(sorted_ids.dtype), side="left"
+    ).astype(jnp.int32)
 
 
 def window_sweep(

@@ -224,6 +224,7 @@ def spatial_hash_forces_tiles(
     cell_size: float = 1.0,
     d: int = 64,
     k: int = 8,
+    build_window: int | None = None,
     return_overflow: bool = False,
     impl: str | None = None,
     sorted_output: bool = False,
@@ -233,7 +234,7 @@ def spatial_hash_forces_tiles(
     Same pair predicate as the window engine (cutoff² on the RAW r²
     before softening, 3×3×3 neighbor cells — reference
     force_spatial_hash.cu:83-152) but a different acceleration structure:
-    a (d³, k) slot tensor on a STATIC power-of-two grid, swept by the
+    a (d³, k) slot tensor on a STATIC d-per-axis grid, swept by the
     Barnes-Hut tile kernel (ops/pallas_tile_near.py) with its per-row
     occupancy skip. At ~1 particle/cell the sorted-window engine is
     block-span-bound (~2700 tests per target against ~27 real
@@ -251,6 +252,7 @@ def spatial_hash_forces_tiles(
     return _spatial_hash_forces_tiles(
         pos, mass, G, softening,
         cutoff=cutoff, cell_size=cell_size, d=d, k=k,
+        build_window=build_window,
         return_overflow=return_overflow, impl=impl,
         sorted_output=sorted_output,
     )
@@ -259,12 +261,12 @@ def spatial_hash_forces_tiles(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "G", "softening", "cutoff", "cell_size", "d", "k",
+        "G", "softening", "cutoff", "cell_size", "d", "k", "build_window",
         "return_overflow", "impl", "sorted_output",
     ),
 )
 def _spatial_hash_forces_tiles(
-    pos, mass, G, softening, *, cutoff, cell_size, d, k,
+    pos, mass, G, softening, *, cutoff, cell_size, d, k, build_window,
     return_overflow, impl, sorted_output,
 ):
     from nbody_tpu.ops.tile_sweep import tile_near_field
@@ -277,7 +279,7 @@ def _spatial_hash_forces_tiles(
         pos, mass, coords, lo, jnp.asarray(cell_size, pos.dtype),
         d=d, ws=1, k=k, G=G, eps=softening, impl=impl,
         cutoff2=float(cutoff) * float(cutoff),
-        sorted_output=sorted_output,
+        sorted_output=sorted_output, build_window=build_window,
     )
     if return_overflow:
         return acc, overflow
@@ -286,7 +288,7 @@ def _spatial_hash_forces_tiles(
 
 def spatial_hash_forces_tiles_sorted(
     pos, mass, G=1.0, softening=0.1, *,
-    cutoff=2.0, cell_size=1.0, d=64, k=8, impl=None,
+    cutoff=2.0, cell_size=1.0, d=64, k=8, build_window=None, impl=None,
 ):
     """Sorted-pipeline hash-tiles forces → ``(acc_sorted, psort, order)``.
 
@@ -302,30 +304,37 @@ def spatial_hash_forces_tiles_sorted(
         impl = resolve_impl("NBODY_PALLAS_NEAR")
     return _spatial_hash_tiles_sorted(
         pos, mass, G, softening, cutoff=cutoff, cell_size=cell_size,
-        d=d, k=k, impl=impl,
+        d=d, k=k, build_window=build_window, impl=impl,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("G", "softening", "cutoff", "cell_size", "d", "k",
-                     "impl"),
+                     "build_window", "impl"),
 )
 def _spatial_hash_tiles_sorted(
-    pos, mass, G, softening, *, cutoff, cell_size, d, k, impl
+    pos, mass, G, softening, *, cutoff, cell_size, d, k, build_window, impl
 ):
-    from nbody_tpu.ops.sorted_window import build_sorted_grid
+    from nbody_tpu.ops.sorted_window import (
+        build_sorted_grid,
+        use_full_cell_start,
+    )
     from nbody_tpu.ops.tile_sweep import tile_near_field
 
     lo = jnp.min(pos, axis=0)
     coords = jnp.clip(
         jnp.floor((pos - lo) / cell_size).astype(jnp.int32), 0, d - 1
     )
-    grid = build_sorted_grid(pos, mass, coords, d)
+    grid = build_sorted_grid(
+        pos, mass, coords, d,
+        with_cell_start=use_full_cell_start(d * d * d),
+    )
     acc, _over = tile_near_field(
         pos, mass, coords, lo, jnp.asarray(cell_size, pos.dtype),
         d=d, ws=1, k=k, G=G, eps=softening, grid=grid, impl=impl,
         cutoff2=float(cutoff) * float(cutoff), sorted_output=True,
+        build_window=build_window,
     )
     return acc, grid.psort, grid.order
 
@@ -343,20 +352,16 @@ def make_spatial_hash_forces_sorted(
     eps = config.softening
     cutoff = config.spatial_hash_cutoff
     cell = config.spatial_hash_cell_size
-    tile_d, tile_k = p["tile_d"], p["tile_k"]
+    tile_d, tile_k, bw = p["tile_d"], p["tile_k"], p["build_window"]
 
     def sorted_force_fn(pos, mass):
         return spatial_hash_forces_tiles_sorted(
             pos, mass, G, eps, cutoff=cutoff, cell_size=cell,
-            d=tile_d, k=tile_k,
+            d=tile_d, k=tile_k, build_window=bw,
         )
 
     sorted_force_fn.engine_params = p
     return sorted_force_fn
-
-
-def _next_pow2(x: int) -> int:
-    return 1 << max(0, int(x - 1).bit_length())
 
 
 def hash_engine_params(config: SimulationConfig, pos=None) -> dict:
@@ -381,6 +386,7 @@ def hash_engine_params(config: SimulationConfig, pos=None) -> dict:
     window, block = hash_window_defaults(config)
     k = config.hash_tile_k
     tile_d = config.hash_max_grid_dim  # fallback when no probe ran
+    build_window = None  # tile-build source window (None = engine default)
     occupancy = None
     if pos is not None:
         p = np.asarray(pos)
@@ -388,11 +394,14 @@ def hash_engine_params(config: SimulationConfig, pos=None) -> dict:
         ext = float((p.max(axis=0) - lo).max())
         cell = config.spatial_hash_cell_size
         need_d = max(4, int(math.ceil(ext / cell + 1e-6)) + 1)
-        # Largest feasible pow2 grid: one-hot dest ids must stay f32-exact
-        # (d³·k ≤ 2²⁴, pallas_scatter SENTINEL contract).
-        d = _next_pow2(need_d)
-        while d > 4 and d * d * d * k > (1 << 24):
-            d //= 2
+        # Smallest multiple-of-8 grid covering the box (multiples of 8
+        # keep d³·k chunk-divisible by 1024; non-pow2 d is fine — the
+        # scatter kernel decodes cells with constant div/mod). Feasible
+        # while one-hot dest ids stay f32-exact (d³·k ≤ 2²⁴,
+        # pallas_scatter SENTINEL contract).
+        d = -(-need_d // 8) * 8
+        while d > 8 and d * d * d * max(k, 8) > (1 << 24):
+            d -= 8
         tile_d = d
         covers = d >= need_d
         coords = np.clip(
@@ -401,12 +410,31 @@ def hash_engine_params(config: SimulationConfig, pos=None) -> dict:
         ids = (coords[:, 0] * d + coords[:, 1]) * d + coords[:, 2]
         occupied = len(np.unique(ids))
         occupancy = p.shape[0] / max(occupied, 1)
+        # Slot capacity from the measured occupancy (k ≈ 2·occ, multiple
+        # of 8): the sweep's per-row group skip makes unused tail groups
+        # cheap outside dense pockets, and the overflow audit counts any
+        # residual Poisson-tail drops (the same graceful-degradation
+        # contract as the Barnes-Hut near k).
+        k = int(min(32, max(k, -(-int(2.0 * occupancy) // 8) * 8)))
+        if d * d * d * k > (1 << 24):
+            k = max(8, ((1 << 24) // (d * d * d)) // 8 * 8)
+        # Tile-build window from the measured density: a scatter chunk
+        # of r slots covers r/k cells whose sorted rows span ~(r/k)·occ;
+        # 1.25× headroom + the 128-align slack (the Barnes-Hut engine's
+        # measured-safe margin at occ 7.3). MXU pass count scales with
+        # w, and the window-miss audit + exact-scatter fallback catch
+        # scenes that outgrow it (never silent).
+        r_chunk = math.gcd(d * d * d * k, 1024)
+        need = (r_chunk / k) * occupancy * 1.25 + 128
+        build_window = int(min(1024, max(256, -(-need // 128) * 128)))
         if engine == "auto":
-            # Tiles win while live-occupancy ≲ k; beyond that the slot
-            # grid both overflows and loses its padding advantage.
+            # Tiles win while the k ≈ 2·occ slot cap is affordable
+            # (k ≤ 32 ⇔ occ ≲ 16); beyond that the slot grid both
+            # overflows and loses its padding advantage — and the grid
+            # must actually cover the box (a clamped grid piles the
+            # boundary into overflowing edge cells).
             engine = (
-                "tiles" if covers and occupancy <= max(4.0, k / 2) else
-                "window"
+                "tiles" if covers and occupancy <= 16.0 else "window"
             )
     if engine == "auto":
         engine = "window"
@@ -416,6 +444,7 @@ def hash_engine_params(config: SimulationConfig, pos=None) -> dict:
         "block": block,
         "tile_d": tile_d,
         "tile_k": k,
+        "build_window": build_window,
         "occupancy": occupancy,
     }
 
@@ -433,7 +462,7 @@ def make_spatial_hash_forces(config: SimulationConfig, pos_hint=None):
     p = hash_engine_params(config, pos_hint)
 
     if p["engine"] == "tiles":
-        tile_d, tile_k = p["tile_d"], p["tile_k"]
+        tile_d, tile_k, bw = p["tile_d"], p["tile_k"], p["build_window"]
 
         def force_fn(pos, mass):
             return spatial_hash_forces_tiles(
@@ -445,6 +474,7 @@ def make_spatial_hash_forces(config: SimulationConfig, pos_hint=None):
                 cell_size=cell,
                 d=tile_d,
                 k=tile_k,
+                build_window=bw,
             )
 
     else:

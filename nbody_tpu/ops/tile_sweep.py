@@ -47,6 +47,7 @@ def tile_near_field(
     impl: str | None = None,
     sorted_output: bool = False,
     cutoff2: float | None = None,
+    build_window: int | None = None,
 ):
     """Exact near-field acceleration within the (2ws+1)³ cell ball.
 
@@ -72,16 +73,31 @@ def tile_near_field(
 
         impl = resolve_impl("NBODY_PALLAS_NEAR")
     n = pos.shape[0]
-    if grid is None:
-        grid = build_sorted_grid(pos, mass, coords, d)
+    from nbody_tpu.ops.sorted_window import (
+        cell_starts_at,
+        sorted_ranks,
+        use_full_cell_start,
+    )
 
-    # rank within cell, in sorted order
     num_cells = d * d * d
+    if grid is None:
+        grid = build_sorted_grid(
+            pos, mass, coords, d,
+            with_cell_start=use_full_cell_start(num_cells),
+        )
+
     ids_sorted = (
         grid.csort[:, 0] * d + grid.csort[:, 1]
     ) * d + grid.csort[:, 2]
-    arange = jnp.arange(n, dtype=jnp.int32)
-    rank_sorted = arange - grid.cell_start[ids_sorted]
+    # rank within cell, in sorted order — via the d³ segment index when
+    # the grid carries one (faster at d ≤ 64, see use_full_cell_start),
+    # else O(N) from the sorted ids alone (large grids)
+    if grid.cell_start is not None:
+        rank_sorted = (
+            jnp.arange(n, dtype=jnp.int32) - grid.cell_start[ids_sorted]
+        )
+    else:
+        rank_sorted = sorted_ranks(ids_sorted)
     overflow = jnp.sum((rank_sorted >= k).astype(jnp.int32))
 
     m = num_cells * k
@@ -120,8 +136,10 @@ def tile_near_field(
         # 7.3 + 127 alignment = 594), audits 0 on the bench scenes
         # (512 misses 10863 rows). Denser scenes are caught by the
         # window_miss audit and recovered via the exact-scatter fallback
-        # below (lax.cond) — capacity misses are never silent.
-        w_win = 640
+        # below (lax.cond) — capacity misses are never silent. Sparse
+        # callers (hash tiles at occ ~1) pass a tighter build_window:
+        # MXU pass count scales with w.
+        w_win = 640 if build_window is None else build_window
         dest = jnp.where(
             rank_sorted < k, ids_sorted * k + rank_sorted, 1 << 24
         )
@@ -131,7 +149,12 @@ def tile_near_field(
         c1 = jnp.minimum(
             ((chunk_ar + 1) * r_chunk + k - 1) // k, num_cells
         )
-        starts = grid.cell_start[c0]
+        if grid.cell_start is not None:
+            starts = grid.cell_start[c0]
+            ends = grid.cell_start[c1]
+        else:
+            starts = cell_starts_at(ids_sorted, c0)
+            ends = cell_starts_at(ids_sorted, c1)
         # Rows past a chunk's window would be MISSED near-field sources,
         # never misplaced ones. The kernel aligns starts DOWN to 128 (DMA
         # provability), so the effective coverage begins at the aligned
@@ -139,9 +162,7 @@ def tile_near_field(
         # falls back to the exact XLA tile build — window capacity is a
         # performance tune, not a correctness knob.
         window_miss = jnp.sum(
-            jnp.maximum(
-                grid.cell_start[c1] - (starts // 128) * 128 - w_win, 0
-            )
+            jnp.maximum(ends - (starts // 128) * 128 - w_win, 0)
         )
 
         def _pallas_tiles():

@@ -13,6 +13,14 @@ from nbody_tpu.render.camera import Camera
 from nbody_tpu.render.color import ColorMapper
 from nbody_tpu.render.renderer import PointRenderer
 from nbody_tpu.render.stream import PointStream
+from nbody_tpu.render.terminal import TerminalView
 from nbody_tpu.render.ui import UIPanel
 
-__all__ = ["Camera", "ColorMapper", "PointRenderer", "PointStream", "UIPanel"]
+__all__ = [
+    "Camera",
+    "ColorMapper",
+    "PointRenderer",
+    "PointStream",
+    "TerminalView",
+    "UIPanel",
+]

@@ -300,6 +300,7 @@ class ParticleSystem:
                     cell_size=cfg.spatial_hash_cell_size,
                     d=p["tile_d"],
                     k=p["tile_k"],
+                    build_window=p.get("build_window"),
                     return_overflow=True,
                 )
                 out["tile_d"] = p["tile_d"]

@@ -133,7 +133,7 @@ class SimulationConfig:
     hash_window: int = 0
     # Spatial hash short-range engine: "window" (sorted z-run sweeps, the
     # dense-scene engine), "tiles" (dense per-cell slot tiles on a
-    # power-of-two grid — the sparse-scene engine; the sorted-window sweep
+    # static covering grid — the sparse-scene engine; the sorted-window sweep
     # is block-span-bound at ~1 particle/cell), or "auto" (resolved from
     # the concrete particle distribution where one is available — the
     # facade resolves at initialize(); bare factories fall back to

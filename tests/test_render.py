@@ -163,3 +163,63 @@ class TestUIPanel:
         p = UIPanel()
         p.set_stats(fps=50.0)
         assert abs(p.stats.frame_time_ms - 20.0) < 1e-9
+
+
+class TestTerminalView:
+    """Live terminal raster (render/terminal.py — the headless-host
+    analogue of the reference's GLFW window, src/main.cpp:307-331)."""
+
+    def _view(self, w=40, h=12):
+        import io
+
+        from nbody_tpu.render.terminal import TerminalView
+
+        return TerminalView(width=w, height=h, out=io.StringIO())
+
+    def test_raster_bins_points(self):
+        import numpy as np
+
+        tv = self._view()
+        # a point straight down the view axis projects to ndc (0, 0)
+        center = np.zeros((1, 3), np.float32)
+        grid = tv.raster(np.repeat(center, 7, axis=0))
+        assert grid.shape == (24, 40)
+        assert grid.sum() == 7
+        ys, xs = np.nonzero(grid)
+        assert len(ys) == 1  # all seven land in one cell
+
+    def test_raster_culls_behind_camera(self):
+        import numpy as np
+
+        tv = self._view()
+        behind = np.asarray(tv.camera.position) * 2.0  # behind the eye
+        assert tv.raster(behind[None, :].astype(np.float32)).sum() == 0
+
+    def test_compose_contract(self):
+        import re
+
+        import numpy as np
+
+        tv = self._view()
+        pts = np.random.RandomState(0).normal(0, 5, (2000, 3)).astype(
+            np.float32
+        )
+        s = tv.compose(pts, "stats here")
+        lines = s.split("\n")
+        assert len(lines) == tv.height + 1  # raster rows + stats line
+        plain = re.sub(r"\x1b\[[0-9;]*[A-Za-z]", "", lines[0])
+        assert len(plain) == tv.width
+        assert "stats here" in lines[-1]
+
+    def test_draw_redraws_in_place(self):
+        import numpy as np
+
+        tv = self._view()
+        pts = np.zeros((3, 3), np.float32)
+        tv.draw(pts, "f1")
+        first = tv.out.getvalue()
+        assert "\x1b[2J" in first  # initial clear
+        tv.draw(pts, "f2")
+        assert tv.out.getvalue().count("\x1b[2J") == 1  # home-only after
+        tv.close()
+        assert "\x1b[?25h" in tv.out.getvalue()  # cursor restored

@@ -261,3 +261,52 @@ def test_facade_auto_engine_and_audit(key):
     for _ in range(3):
         s.update()
     assert bool(jnp.isfinite(s._state.pos).all())
+
+
+def test_light_grid_matches_full(key):
+    """The light grid build (with_cell_start=False — sorted_ranks cummax
+    + cell_starts_at searchsorted, the large-d³ path) must produce the
+    same tile near field as the full segment-index build."""
+    from nbody_tpu.ops.sorted_window import (
+        cell_starts_at,
+        sorted_ranks,
+    )
+
+    d = 8
+    s, lo, cell, coords = setup(key, 300, d)
+    grid_full = build_sorted_grid(s.pos, s.mass, coords, d)
+    grid_light = build_sorted_grid(
+        s.pos, s.mass, coords, d, with_cell_start=False
+    )
+    assert grid_light.cell_start is None
+
+    # helper equivalence against the full index
+    ids_sorted = (
+        grid_full.csort[:, 0] * d + grid_full.csort[:, 1]
+    ) * d + grid_full.csort[:, 2]
+    ranks_full = (
+        jnp.arange(ids_sorted.shape[0], dtype=jnp.int32)
+        - grid_full.cell_start[ids_sorted]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sorted_ranks(ids_sorted)), np.asarray(ranks_full)
+    )
+    queries = jnp.arange(0, d * d * d + 1, 7, dtype=jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(cell_starts_at(ids_sorted, queries)),
+        np.asarray(grid_full.cell_start[queries]),
+    )
+
+    # end-to-end: tile near field identical under either grid
+    acc_full, over_full = tile_near_field(
+        s.pos, s.mass, coords, lo, cell,
+        d=d, ws=1, k=32, G=1.0, eps=0.1, grid=grid_full,
+    )
+    acc_light, over_light = tile_near_field(
+        s.pos, s.mass, coords, lo, cell,
+        d=d, ws=1, k=32, G=1.0, eps=0.1, grid=grid_light,
+    )
+    assert int(over_full) == int(over_light) == 0
+    np.testing.assert_allclose(
+        np.asarray(acc_light), np.asarray(acc_full), rtol=1e-6, atol=1e-7
+    )
