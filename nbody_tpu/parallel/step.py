@@ -26,6 +26,10 @@ from nbody_tpu.types import ForceMethod, SimulationConfig
 def make_sharded_force_fn(
     config: SimulationConfig, mesh: Mesh
 ) -> Callable:
+    """Every branch returns a JITTED closure: a shard_map called outside
+    jit falls back to eager per-op dispatch across the mesh (minutes for
+    one 8-device CPU force call — measured r3); jit-of-jit is inlined,
+    so callers already under jit pay nothing."""
     if config.force_method == ForceMethod.DIRECT_N2:
 
         def force_fn(pos, mass):
@@ -33,7 +37,7 @@ def make_sharded_force_fn(
                 pos, mass, mesh, config.G, config.softening
             )
 
-        return force_fn
+        return jax.jit(force_fn)
 
     # Hash / BH: the DESIGNED distributed paths (parallel/tree.py —
     # psum-combined pyramid, slab routing, ppermute halo) whenever the
@@ -64,7 +68,7 @@ def make_sharded_force_fn(
                     near_k=near_k,
                 )
 
-            return force_fn
+            return jax.jit(force_fn)
     elif config.force_method == ForceMethod.SPATIAL_HASH:
         if config.hash_max_grid_dim % n_dev == 0:
             from nbody_tpu.parallel.tree import sharded_spatial_hash_forces
@@ -82,7 +86,7 @@ def make_sharded_force_fn(
                     max_per_cell=config.hash_max_per_cell,
                 )
 
-            return force_fn
+            return jax.jit(force_fn)
 
     from nbody_tpu.ops.forces import make_force_fn
 
@@ -94,7 +98,7 @@ def make_sharded_force_fn(
             acc, jax.sharding.NamedSharding(mesh, P(PARTICLE_AXIS))
         )
 
-    return force_fn
+    return jax.jit(force_fn)
 
 
 def make_sharded_step(config: SimulationConfig, mesh: Mesh):

@@ -210,17 +210,21 @@ def test_sorted_multi_step_matches_plain():
         jax.random.PRNGKey(7), n, SphericalDistParams(radius=5.0)
     )
 
+    # XLA near engine: this test gates the sorted-vs-plain STEPPING
+    # contract, not the Pallas kernel (kernel equivalence is
+    # test_pallas_kernels.py) — interpret mode here costs ~250 s of
+    # Python emulation inside the scan for no extra coverage.
     def force(pos, mass):
         return _barnes_hut_forces(
             pos, mass, 1.0, 0.1, 0.5, levels=levels, window=2048,
             near_engine="tiles", near_k=16, multipole_order=2,
-            near_impl="pallas_interpret",
+            near_impl="xla",
         )
 
     def sorted_force(pos, mass):
         return barnes_hut_forces_sorted(
             pos, mass, 1.0, 0.1, 0.5, levels=levels, near_k=16,
-            multipole_order=2, near_impl="pallas_interpret",
+            multipole_order=2, near_impl="xla",
         )
 
     state = initialize_forces(state, force)
