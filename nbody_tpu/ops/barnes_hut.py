@@ -164,10 +164,10 @@ def _sorted_finest_moments(
     """Finest-level moments from CELL-SORTED rows via the MXU segment-sum
     (ops/pallas_scatter.py) — the TPU fast path: the unsorted
     ``.at[cid].add`` scatter costs ~50 ms at 1M rows, the segment sum a
-    few ms. Returns (packed (d,d,d,C), window_miss): rows beyond a
-    chunk's source window would be DROPPED, so the caller must fall back
-    to the exact scatter when window_miss > 0 (lax.cond — audited, never
-    silent)."""
+    few ms. EXACT for any density: chunks denser than one source window
+    loop further windows in-kernel (the old lax.cond fallback to the XLA
+    scatter cost ~16 ms on EVERY step at 1M — scripts/profile_r3k.py —
+    because XLA speculates both branches). Returns packed (d,d,d,C)."""
     psort = grid.psort
     ctr = lo + (grid.csort.astype(psort.dtype) + 0.5) * cell
     m = psort[:, 3:4]
@@ -198,16 +198,14 @@ def _sorted_finest_moments(
         ends = cell_starts_at(
             ids_sorted, jnp.minimum((car + 1) * r_chunk, nc)
         )
-    miss = jnp.sum(
-        jnp.maximum(ends - (starts // 128) * 128 - w_win, 0)
-    )
+    span = ends - (starts // 128) * 128
     packed_cm = monotone_segment_sum(
         vals, ids_sorted, starts, num_dest=nc, r=r_chunk, w=w_win,
-        interpret=interpret,
+        nwin=-(-span // w_win), interpret=interpret,
     )
     # (measured: an eye-matmul "transpose" here regressed — XLA's own
     # transpose wins for this shape)
-    return packed_cm.T.reshape(d, d, d, vals.shape[1]), miss
+    return packed_cm.T.reshape(d, d, d, vals.shape[1])
 
 
 def build_pyramid(
@@ -940,8 +938,8 @@ def _barnes_hut_forces(
         )
     if fast_path:
         # TPU fast path: ONE cell sort feeds both the pyramid moments
-        # (MXU segment sum, lax.cond fallback to the exact scatter when
-        # its window audit is nonzero) and the tile near field.
+        # (MXU segment sum, exact at any density via in-kernel window
+        # loops) and the tile near field.
         from nbody_tpu.ops.sorted_window import build_sorted_grid
         from nbody_tpu.ops.tile_sweep import tile_near_field
 
@@ -963,16 +961,9 @@ def _barnes_hut_forces(
         ids_sorted = (
             grid.csort[:, 0] * d + grid.csort[:, 1]
         ) * d + grid.csort[:, 2]
-        packed_fast, miss = _sorted_finest_moments(
+        packed = _sorted_finest_moments(
             grid, ids_sorted, lo, cell, d, multipole_order,
             interpret=near_impl == "pallas_interpret",
-        )
-        packed = jax.lax.cond(
-            miss == 0,
-            lambda: packed_fast,
-            lambda: scatter_finest_moments(
-                pos, mass, coords, lo, cell, d, multipole_order
-            ),
         )
         pyr = pyramid_from_packed(packed, lo, cell, levels, multipole_order)
         a_far, j_far, h_far = far_field_grid(pyr, ws, G, softening, levels)

@@ -35,8 +35,10 @@ scripts in /tmp probed them on hardware):
 Unmatched dest rows get the filler: their cell center with mass 0 (the
 inert-slot convention of ops/tile_sweep.py), computed in-kernel from the
 dest row index. Source rows whose dest was set to the overflow sentinel
-never match; rows beyond a chunk's window can only be MISSED (never
-misplaced) and the caller counts window misses in its overflow audit.
+never match. A chunk whose source span exceeds one window LOOPS further
+windows in-kernel (prefetched per-chunk count, lax.fori_loop over DMAs)
+— the build is exact for any density; the window size w only tunes the
+MXU compare-pass count, it is not a correctness knob.
 """
 
 from __future__ import annotations
@@ -98,6 +100,7 @@ def _placement_dot(win_v, onehot, split3: bool):
 def _kernel(
     starts_ref,   # (n_chunks,) i32 scalar-prefetch: window starts // 128
     nonempty_ref,  # (n_chunks,) i32 scalar-prefetch: chunk has sources
+    nwin_ref,     # (n_chunks,) i32 scalar-prefetch: windows covering span
     geom_ref,     # (1, 128) f32 VMEM: [lo_x, lo_y, lo_z, cell, ...]
     src_hbm,      # (8, cols_pad) f32 ANY: channels x,y,z,m,dest,1,0,0
     out_ref,      # (8, R) f32 VMEM block
@@ -106,19 +109,26 @@ def _kernel(
     w: int,
     k: int,
     d: int,
+    q: int,
     split3: bool,
 ):
     c = pl.program_id(0)
 
-    # Filler: cell centers, mass 0. cell = dest_row // k (constant
-    # divisor); a power-of-two d decodes with shift/mask, any other d
-    # with constant-divisor div/mod (both are vector int ops). Computed
+    # Filler: cell centers, mass 0. With q == 0 (legacy layout) output
+    # column = local dest id, so cell = dest_row // k (constant divisor);
+    # with q > 0 (slot-major layout, cells per chunk) column col maps to
+    # slot col // q of cell chunk·q + col % q — the layout the near-sweep
+    # kernel consumes with ONE contiguous-run transpose (tile_sweep.py).
+    # A power-of-two divisor decodes with shift/mask, any other with
+    # constant-divisor div/mod (both are vector int ops). Computed
     # unconditionally — it is also the whole output of empty chunks
     # (~45% of chunks on a spherical scene are outside the ball; they
     # skip the DMA + matmul entirely).
-    row0 = c * r
-    dest_lanes = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1) + row0
-    cell = dest_lanes // k
+    col_lanes = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)
+    if q:
+        cell = c * q + col_lanes % q
+    else:
+        cell = (c * r + col_lanes) // k
     if d & (d - 1) == 0:
         dbits = d.bit_length() - 1
         cz = cell & (d - 1)
@@ -140,6 +150,13 @@ def _kernel(
     # Scratch is allocated unconditionally (Mosaic hoists allocations);
     # only the DMA + matmul sit behind the emptiness branch.
     def inner(win, sem):
+        iota_sub = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+        if q:
+            dest_sub = (c * q + iota_sub % q) * k + iota_sub // q
+        else:
+            dest_sub = iota_sub + c * r
+        dest_rows_f = dest_sub.astype(jnp.float32)               # (R, 1)
+
         @pl.when(nonempty_ref[c] == 0)
         def _empty():
             out_ref[0:1] = fx
@@ -158,18 +175,45 @@ def _kernel(
 
             win_v = win[...]                                     # (8, W)
             keys = win_v[4:5]                                    # (1, W)
-            iota_sub = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
-            dest_rows_f = (iota_sub + row0).astype(jnp.float32)  # (R, 1)
             onehot = (dest_rows_f == keys).astype(jnp.float32)   # (R, W)
+            out_ref[...] = _placement_dot(win_v, onehot, split3)
 
-            placed = _placement_dot(win_v, onehot, split3)  # (8, R)
-            covered = placed[5:6]                                # (1, R)
+            # Overflow windows: a chunk whose source span exceeds W loops
+            # further windows [start + j·W, start + (j+1)·W) through the
+            # same one-hot placement until the prefetched count is
+            # exhausted — the build is EXACT for any density, with zero
+            # extra cost for chunks that fit one window (the typical
+            # case; the old whole-array lax.cond fallback cost ~55 ms on
+            # EVERY step at 1M, scripts/profile_r3j.py). Windows are
+            # disjoint and dest rows unique, so a column is hit by at
+            # most one pass and the adds stay BIT-EXACT (the misses
+            # contribute exact 0.0).
+            def _more(j, carry):
+                off128 = s128 + j * (w // 128)
+                cp2 = pltpu.make_async_copy(
+                    src_hbm.at[:, pl.ds(off128 * 128, w)], win, sem
+                )
+                cp2.start()
+                cp2.wait()
 
-            miss = 1.0 - covered
-            out_ref[0:1] = placed[0:1] + miss * fx
-            out_ref[1:2] = placed[1:2] + miss * fy
-            out_ref[2:3] = placed[2:3] + miss * fz
-            out_ref[3:8] = placed[3:8]  # mass + aux: filler is 0
+                wv = win[...]                                    # (8, W)
+                oh = (dest_rows_f == wv[4:5]).astype(jnp.float32)
+                out_ref[...] = out_ref[...] + _placement_dot(
+                    wv, oh, split3
+                )
+                return carry
+
+            jax.lax.fori_loop(1, nwin_ref[c], _more, 0)
+
+            # Filler merge LAST, exactly once: channel 5 accumulated the
+            # coverage mask across all windows (0 or 1 per column), so
+            # placed columns add an exact 0·filler and untouched columns
+            # an exact 1·filler — placement stays bit-exact regardless of
+            # the window count.
+            miss = 1.0 - out_ref[5:6]
+            out_ref[0:1] = out_ref[0:1] + miss * fx
+            out_ref[1:2] = out_ref[1:2] + miss * fy
+            out_ref[2:3] = out_ref[2:3] + miss * fz
 
     pl.run_scoped(
         inner,
@@ -181,6 +225,7 @@ def _kernel(
 def _segsum_kernel(
     starts_ref,   # (n_chunks,) i32 scalar-prefetch: window starts // 128
     nonempty_ref,  # (n_chunks,) i32 scalar-prefetch: chunk has sources
+    nwin_ref,     # (n_chunks,) i32 scalar-prefetch: windows covering span
     src_hbm,      # (16, cols_pad) f32 ANY: C value channels + dest + 0s
     out_ref,      # (16, R) f32 VMEM block
     *,
@@ -191,6 +236,10 @@ def _segsum_kernel(
     c = pl.program_id(0)
 
     def inner(win, sem):
+        row0 = c * r
+        iota_sub = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+        dest_rows_f = (iota_sub + row0).astype(jnp.float32)      # (R, 1)
+
         @pl.when(nonempty_ref[c] == 0)
         def _empty():
             out_ref[...] = jnp.zeros((16, r), jnp.float32)
@@ -204,14 +253,30 @@ def _segsum_kernel(
             cp.start()
             cp.wait()
 
-            row0 = c * r
             win_v = win[...]                                     # (16, W)
             keys = win_v[15:16]                                  # (1, W)
-            iota_sub = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
-            dest_rows_f = (iota_sub + row0).astype(jnp.float32)  # (R, 1)
             onehot = (dest_rows_f == keys).astype(jnp.float32)   # (R, W)
             # (16, R): segment sums, f32-accurate MXU accumulation
             out_ref[...] = _placement_dot(win_v, onehot, split3)
+
+            # Overflow windows (see _kernel): a segment's sources may
+            # straddle windows; partial sums ADD — no filler merge needed.
+            def _more(j, carry):
+                off128 = s128 + j * (w // 128)
+                cp2 = pltpu.make_async_copy(
+                    src_hbm.at[:, pl.ds(off128 * 128, w)], win, sem
+                )
+                cp2.start()
+                cp2.wait()
+
+                wv = win[...]                                    # (16, W)
+                oh = (dest_rows_f == wv[15:16]).astype(jnp.float32)
+                out_ref[...] = out_ref[...] + _placement_dot(
+                    wv, oh, split3
+                )
+                return carry
+
+            jax.lax.fori_loop(1, nwin_ref[c], _more, 0)
 
     pl.run_scoped(
         inner,
@@ -232,6 +297,7 @@ def monotone_segment_sum(
     r: int = 256,
     w: int = 2560,
     nonempty: jax.Array | None = None,  # (n_chunks,) bool/i32 chunk flags
+    nwin: jax.Array | None = None,      # (n_chunks,) i32 windows per chunk
     split3: bool = True,
     interpret: bool = False,
 ) -> jax.Array:
@@ -239,22 +305,37 @@ def monotone_segment_sum(
     ``monotone_scatter_tiles`` (same one-hot MXU pattern, but a dest row
     matches MANY sources; precision=HIGHEST accumulates their exact
     3-way-bf16 splits in f32). An XLA ``.at[dest].add`` of 1M rows costs
-    ~50 ms; this runs in a few ms. Rows beyond a chunk's window are
-    DROPPED — the caller must size w so its audit covers the risk.
+    ~50 ms; this runs in a few ms. Chunks whose span exceeds one window
+    loop further windows in-kernel (count ``nwin``, derived from ``dest``
+    when None) — EXACT for any density; w is purely a performance tune.
     """
     n, c_in = vals.shape
     assert c_in <= 15
+    if w % 128 != 0:
+        raise ValueError(f"window must be 128-aligned, got w={w}")
     m = -(-num_dest // r) * r
     n_chunks = m // r
 
-    if nonempty is None:
+    if nonempty is None or nwin is None:
         # A chunk is live iff any (sorted) dest id lands in its row range.
+        # Sentinel rows (dest ≥ 2²⁴) may INTERLEAVE with real dests, so
+        # binary-search the monotone ENVELOPE: sentinel rows inherit the
+        # last real dest (they never match a column, so whether a span
+        # includes them is irrelevant — only real-row coverage matters).
+        denv = jax.lax.cummax(
+            jnp.where(dest < (1 << 24), dest, dest.dtype.type(-1))
+        )
         bounds = jnp.arange(n_chunks + 1, dtype=dest.dtype) * r
-        idx = jnp.searchsorted(dest, bounds, side="left")
-        nonempty = idx[1:] > idx[:-1]
+        idx = jnp.searchsorted(denv, bounds, side="left")
+        if nonempty is None:
+            nonempty = idx[1:] > idx[:-1]
+        if nwin is None:
+            span = idx[1:] - (src_starts // 128) * 128
+            nwin = -(-span // w)
     nonempty = nonempty.astype(jnp.int32)
+    nwin = jnp.maximum(nwin.astype(jnp.int32), 1)
 
-    cols_pad = -(-(n + w + 128) // 128) * 128
+    cols_pad = -(-(n + 2 * w + 128) // 128) * 128
     dest_f = jnp.where(
         dest >= (1 << 24), SENTINEL, dest.astype(jnp.float32)
     )
@@ -269,10 +350,10 @@ def monotone_segment_sum(
     src = jnp.pad(src, ((0, 0), (0, cols_pad - n)))
     src = src.at[15, n:].set(SENTINEL)
 
-    starts128 = jnp.clip(src_starts // 128, 0, (cols_pad - w) // 128)
+    starts128 = jnp.clip(src_starts // 128, 0, (cols_pad - 2 * w) // 128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_chunks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec((16, r), lambda i, *_: (0, i)),
@@ -291,12 +372,12 @@ def monotone_segment_sum(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(starts128, nonempty, src)
+    )(starts128, nonempty, nwin, src)
     return out[:c_in, :num_dest]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "d", "r", "w", "split3", "interpret")
+    jax.jit, static_argnames=("k", "d", "r", "w", "q", "split3", "interpret")
 )
 def monotone_scatter_tiles(
     psort: jax.Array,       # (N, 4) cell-sorted rows x,y,z,m
@@ -309,29 +390,64 @@ def monotone_scatter_tiles(
     d: int,
     r: int = 1024,
     w: int = 1024,
+    q: int = 0,
     nonempty: jax.Array | None = None,  # (n_chunks,) bool/i32 chunk flags
+    nwin: jax.Array | None = None,      # (n_chunks,) i32 windows per chunk
     split3: bool = True,
     interpret: bool = False,
 ) -> jax.Array:
-    """→ (4, d³·k) channel-major dense slot rows: psort row at its
-    (cell · k + slot) column, cell centers with mass 0 elsewhere.
+    """→ (4, d³·k) channel-major dense slot rows, cell centers with mass 0
+    in unmatched columns.
 
-    ``src_starts[c]`` must satisfy: all input rows whose dest lies in
-    chunk c's range sit within [align128(start), align128(start) + w)
-    — rows beyond are missed and must be audited by the caller.
+    Column layout: with ``q == 0`` column = (cell · k + slot) globally
+    (slot fastest); with ``q = r // k`` (cells per chunk) each chunk's
+    columns are SLOT-MAJOR — col = chunk·r + slot·q + local_cell — so the
+    global array reshapes to (4, n_chunks, k, q) and reaches the sweep
+    kernel's plane-major layout in one contiguous-run transpose
+    (ops/tile_sweep.py). Chunk boundaries, windows, and audits are
+    identical in both layouts.
+
+    ``src_starts[c]`` must point at (or before) the first input row whose
+    dest lies in chunk c's range; the kernel loops as many w-wide source
+    windows as the chunk's span needs (count ``nwin``, derived from
+    ``dest`` when None) — the build is EXACT for any density, and w is
+    purely a performance tune (MXU compare passes scale with it).
     """
+    if q != 0 and q * k != r:
+        raise ValueError(f"slot-major layout needs q*k == r, got {(q, k, r)}")
+    if w % 128 != 0:
+        raise ValueError(f"window must be 128-aligned, got w={w}")
     n = psort.shape[0]
     m = d * d * d * k
-    assert m % r == 0
-    n_chunks = m // r
+    if m % r == 0:
+        n_chunks = m // r
+    else:
+        raise ValueError(
+            f"chunk size r={r} must divide d³·k = {d}³·{k} = {m}"
+        )
+    if m >= (1 << 24):
+        raise ValueError(
+            f"dest ids ride in f32 (exact to 2^24): d³·k = {m} too large — "
+            "use the XLA tile build for grids this size"
+        )
 
-    if nonempty is None:
+    if nonempty is None or nwin is None:
+        # Overflow-sentinel rows interleave with real dests (NOT sorted):
+        # search the monotone envelope — see monotone_segment_sum.
+        denv = jax.lax.cummax(
+            jnp.where(dest < (1 << 24), dest, dest.dtype.type(-1))
+        )
         bounds = jnp.arange(n_chunks + 1, dtype=dest.dtype) * r
-        idx = jnp.searchsorted(dest, bounds, side="left")
-        nonempty = idx[1:] > idx[:-1]
+        idx = jnp.searchsorted(denv, bounds, side="left")
+        if nonempty is None:
+            nonempty = idx[1:] > idx[:-1]
+        if nwin is None:
+            span = idx[1:] - (src_starts // 128) * 128
+            nwin = -(-span // w)
     nonempty = nonempty.astype(jnp.int32)
+    nwin = jnp.maximum(nwin.astype(jnp.int32), 1)
 
-    cols_pad = -(-(n + w + 128) // 128) * 128
+    cols_pad = -(-(n + 2 * w + 128) // 128) * 128
     dest_f = jnp.where(
         dest >= (1 << 24), SENTINEL, dest.astype(jnp.float32)
     )
@@ -359,10 +475,10 @@ def monotone_scatter_tiles(
     geom = geom.at[0, :3].set(lo.astype(jnp.float32))
     geom = geom.at[0, 3].set(jnp.asarray(cell, jnp.float32))
 
-    starts128 = jnp.clip(src_starts // 128, 0, (cols_pad - w) // 128)
+    starts128 = jnp.clip(src_starts // 128, 0, (cols_pad - 2 * w) // 128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((1, 128), lambda i, *_: (0, 0)),
@@ -371,7 +487,7 @@ def monotone_scatter_tiles(
         out_specs=pl.BlockSpec((8, r), lambda i, *_: (0, i)),
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, r=r, w=w, k=k, d=d, split3=split3),
+        functools.partial(_kernel, r=r, w=w, k=k, d=d, q=q, split3=split3),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((8, m), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -384,5 +500,5 @@ def monotone_scatter_tiles(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(starts128, nonempty, geom, src)
+    )(starts128, nonempty, nwin, geom, src)
     return out[:4]

@@ -7,25 +7,29 @@ formulation streams every (K, cells) intermediate through HBM (measured
 210 ms at 1M/L6/k16); this kernel keeps the working set in VMEM and sweeps
 all (2ws+1)³ neighbor offsets with STATIC lane shifts.
 
-v4 layout — each earlier version taught a Mosaic constraint the hard way:
-  v1/v2: dynamic sublane/lane offsets → rejected or catastrophically slow.
-  v3: x-plane programs with the full flattened (y, z) plane on lanes
-      (4608 lanes = 36 vregs/operand) → the register allocator spilled
-      295 MB; and a 3D (K_t, K_s, L) broadcast formulation before that
-      compiled > 30 min server-side.
-
-  * tiles rearranged to (X + 2ws, 4, K, Lp): x-planes lead, channels
-    (x,y,z,m) next, slot axis K on sublanes, and the (y, z) plane
-    FLATTENED onto lanes with halo pads so a neighbor offset (dy, dz) is
-    a STATIC lane shift of dy·Zp + dz.
+v5 layout — raw flattened lanes, boundary masks in-kernel:
+  * input is PLANE-MAJOR (D, 4, K, D²): x-planes lead, channels (x,y,z,m)
+    next, slot axis K on sublanes, and the (y, z) plane flattened onto
+    lanes RAW — no interleaved halo pads. This is one cheap transpose away
+    from the scatter kernel's chunk-blocked output (256-byte contiguous
+    runs), where the old halo-padded layout cost ~22 ms/step of XLA
+    transpose+pad passes at 1M (scripts/profile_r3h.py bisections).
+  * a neighbor offset (dy, dz) is a STATIC lane shift of dy·D + dz. In
+    flattened (y, z) lanes the y-halo is FREE: a y out of [0, D) shifts
+    the lane out of the data region into the zero margins, so only the
+    z-boundary wrap (z + dz outside [0, D) drags y by ±1) needs masking —
+    2·ws masks of (1, C) per program, multiplied into the source mass.
   * 2D grid (x-plane, lane-chunk): each program DMAs a (2ws+1, 4, K,
-    C + 2M) slab window — C target lanes plus M = round_up(ws·Zp+ws, 128)
-    shift margin per side (the lane axis is M-padded so every window is
-    in bounds and 128-aligned) — and evaluates all (2ws+1)³ offsets ×
-    K_t target rows as 2D (K_s, C) VPU blocks, the native vreg tiling.
+    C + 2M) slab window — C target lanes plus M = round_up(ws·D+ws, 128)
+    shift margin per side — and evaluates all (2ws+1)³ offsets × K_t
+    target rows as 2D (K_s, C) VPU blocks, the native vreg tiling.
     Narrow operands (C=512 → 4 vregs) keep register pressure low.
   * empty slots carry mass 0 at their cell center and are inert;
     coincident/self pairs need masking only at ε = 0.
+
+(v4 and earlier used pre-padded (y, z) halos; each version taught a Mosaic
+constraint: dynamic sublane/lane offsets are rejected or catastrophically
+slow, full-width operands spill — see git history for the archaeology.)
 """
 
 from __future__ import annotations
@@ -42,12 +46,12 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _near_kernel(tiles_hbm, acc_ref, *, k, ws, zp, c, m, eps, zero_guard,
+def _near_kernel(tiles_hbm, acc_ref, *, k, ws, d, c, m, eps, zero_guard,
                  cutoff2):
     """One (x-plane, lane-chunk) program.
 
     tiles_hbm: (D+2ws, 4, K, Lp) ANY — x-padded planes, lanes = flattened
-               padded (y, z) with an M-lane margin at both ends
+               RAW (y, z) with an M-lane zero margin at both ends
     acc_ref:   (1, 3, K, C) VMEM — this chunk's per-slot accelerations
     """
     w1 = 2 * ws + 1
@@ -69,25 +73,28 @@ def _near_kernel(tiles_hbm, acc_ref, *, k, ws, zp, c, m, eps, zero_guard,
     kg = 8
     ng = -(-k // kg)
 
-    def _sweep_rows(slab, rows, tx, ty, tz, ax, ay, az):
+    def _sweep_rows(slab, zmasks, rows, tx, ty, tz, ax, ay, az):
         """Accumulate all (2ws+1)³ offsets of source slot rows ``rows``
         against the (GT, C) target block; each step broadcasts ONE source
         row (1, C) and fma-accumulates — no cross-sublane reductions."""
         for xo in range(w1):
             for yo in range(-ws, ws + 1):
                 for zo in range(-ws, ws + 1):
-                    off = m + yo * zp + zo
+                    off = m + yo * d + zo
                     for ks in rows:
                         sx = slab[xo, 0, ks, off:off + c]  # (C,)
                         sy = slab[xo, 1, ks, off:off + c]
                         sz = slab[xo, 2, ks, off:off + c]
-                        sm = slab[xo, 3, ks, off:off + c]
+                        sm = slab[xo, 3, ks, off:off + c][None]  # (1, C)
+                        if zo != 0:
+                            # z-boundary wrap guard (see module docstring)
+                            sm = sm * zmasks[zo]
                         dx = sx[None] - tx         # (GT, C)
                         dy = sy[None] - ty
                         dz = sz[None] - tz
                         r2 = dx * dx + dy * dy + dz * dz
                         inv = jax.lax.rsqrt(r2 + eps2)
-                        w = sm[None] * (inv * inv * inv)
+                        w = sm * (inv * inv * inv)
                         if cutoff2 is not None:
                             # hash predicate: RAW r² vs cutoff², BEFORE
                             # softening is added (reference:
@@ -108,6 +115,22 @@ def _near_kernel(tiles_hbm, acc_ref, *, k, ws, zp, c, m, eps, zero_guard,
         )
         cp.start()
         cp.wait()
+
+        # z-wrap masks, one per nonzero z offset: a target lane whose
+        # z + zo leaves [0, D) would read a REAL particle of the wrong
+        # cell ((y±1, z∓(D-1)) — the flattened-lane wrap); zero its mass.
+        # y overflow needs no mask: the lane leaves the data region into
+        # the zero margins. Computed once per program; 2·ws live vregs.
+        lane_z = (
+            j * c + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+        ) % d
+        zmasks = {
+            zo: ((lane_z + zo >= 0) & (lane_z + zo < d)).astype(
+                jnp.float32
+            )
+            for zo in range(-ws, ws + 1)
+            if zo != 0
+        }
 
         # Geometric occupancy skip (masses are non-negative; a zero-mass
         # source contributes exact zeros, so skipping is numerically
@@ -156,7 +179,8 @@ def _near_kernel(tiles_hbm, acc_ref, *, k, ws, zp, c, m, eps, zero_guard,
                     # register accumulation, branch-free.
                     z = jnp.zeros((gt, c), jnp.float32)
                     ax, ay, az = _sweep_rows(
-                        slab, range(0, min(kg, k)), tx, ty, tz, z, z, z)
+                        slab, zmasks, range(0, min(kg, k)),
+                        tx, ty, tz, z, z, z)
 
                     # Tail sources: one branch per group of 8 rows; the
                     # dead branch writes zeros so the unconditional add
@@ -175,7 +199,8 @@ def _near_kernel(tiles_hbm, acc_ref, *, k, ws, zp, c, m, eps, zero_guard,
                                        tx=tx, ty=ty, tz=tz):
                             z = jnp.zeros((gt, c), jnp.float32)
                             bx, by, bz = _sweep_rows(
-                                slab, range(s0, s1), tx, ty, tz, z, z, z)
+                                slab, zmasks, range(s0, s1),
+                                tx, ty, tz, z, z, z)
                             tailx[0:gt] = bx
                             taily[0:gt] = by
                             tailz[0:gt] = bz
@@ -203,12 +228,11 @@ def _near_kernel(tiles_hbm, acc_ref, *, k, ws, zp, c, m, eps, zero_guard,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "d", "ws", "eps", "chunk", "cutoff2", "pre_transposed",
-        "raw_output", "interpret",
+        "k", "d", "ws", "eps", "chunk", "cutoff2", "interpret",
     ),
 )
-def tile_sweep_pallas(
-    tiles_t: jax.Array,
+def tile_sweep_pallas_plane(
+    tiles_plane: jax.Array,
     *,
     k: int,
     d: int,
@@ -216,43 +240,32 @@ def tile_sweep_pallas(
     eps: float,
     chunk: int = 512,
     cutoff2: float | None = None,
-    pre_transposed: bool = False,
-    raw_output: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
-    """(K, 4, D, D, D) slot tensor → (K, 3, D, D, D) per-slot accelerations.
+    """(D, 4, K, D²) plane-major slot tensor → (D, 3, K, NC·C) raw
+    per-slot accelerations (lane y·D + z for cell (y, z); lanes ≥ D² are
+    chunk padding). Returns un-scaled accelerations (multiply by G).
 
-    Input layout matches tile_sweep.py's transposed tiles (slots leading,
-    cells on lanes); with ``pre_transposed=True`` the input is already in
-    the kernel's plane-major (D, 4, K, D, D) layout (the producer emits
-    it via an MXU eye-einsum — XLA's native 5-D transpose of these 67 MB
-    runs at ~1.7 GB/s). Returns un-scaled accelerations (multiply by G).
+    This is the production entry point: its input is ONE contiguous-run
+    transpose away from the scatter kernel's slot-major chunk output, and
+    its raw output feeds the pickup gather with no intermediate halo
+    relayouts (the pads below are a single fused XLA copy).
     """
     w1 = 2 * ws + 1
-    yp = d + 2 * ws
-    zp = d + 2 * ws
-    l = yp * zp
-    p2 = ws * zp + ws  # max |lane shift| for any (dy, dz) offset
-    c = chunk
-    m = _round_up(p2, 128)
+    l = d * d
+    c = min(chunk, _round_up(l, 128))
+    m = _round_up(ws * d + ws, 128)
     nc = -(-l // c)
-    lpad = m + nc * c + m
 
-    # (K, 4, D, D, D) → (x, ch, slot, y, z) → (D+2ws, 4, K, Lp)
-    if pre_transposed:
-        t = tiles_t  # already (D_x, 4, K, D_y, D_z)
-    else:
-        t = tiles_t.transpose(2, 1, 0, 3, 4)  # (D_x, 4, K, D_y, D_z)
     t = jnp.pad(
-        t, [(ws, ws), (0, 0), (0, 0), (ws, ws), (ws, ws)]
-    )  # (D+2ws, 4, K, Yp, Zp)
-    t = t.reshape(d + 2 * ws, 4, k, l)
-    t = jnp.pad(t, [(0, 0), (0, 0), (0, 0), (m, lpad - l - 2 * m + m)])
+        tiles_plane,
+        [(ws, ws), (0, 0), (0, 0), (m, m + nc * c - l)],
+    )  # (D+2ws, 4, K, Lp)
 
     zero_guard = eps == 0.0
     out = pl.pallas_call(
         functools.partial(
-            _near_kernel, k=k, ws=ws, zp=zp, c=c, m=m, eps=float(eps),
+            _near_kernel, k=k, ws=ws, d=d, c=c, m=m, eps=float(eps),
             zero_guard=zero_guard,
             cutoff2=None if cutoff2 is None else float(cutoff2),
         ),
@@ -275,12 +288,32 @@ def tile_sweep_pallas(
         ),
         interpret=interpret,
     )(t)
-    if raw_output:
-        # Native (D, 3, K, NC·C) layout — lane (y+ws)·zp + (z+ws) for
-        # real cell (y, z). Consumers gather per-channel directly and
-        # skip TWO XLA 5-D transposes (~1.7 GB/s each on 150-200 MB).
-        return out
-    # (D, 3, K, NC·C) → (K, 3, D, D, D): strip chunk padding + halo pads.
-    out = out[:, :, :, :l].reshape(d, 3, k, yp, zp)
-    out = out[:, :, :, ws:ws + d, ws:ws + d]
+    return out
+
+
+def tile_sweep_pallas(
+    tiles_t: jax.Array,
+    *,
+    k: int,
+    d: int,
+    ws: int,
+    eps: float,
+    chunk: int = 512,
+    cutoff2: float | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """(K, 4, D, D, D) slot tensor → (K, 3, D, D, D) per-slot accelerations.
+
+    Convenience wrapper over ``tile_sweep_pallas_plane`` for callers (and
+    the interpret-mode equivalence tests) that hold tiles in the
+    slot-leading layout; the production path feeds the plane layout
+    directly and picks from the raw output (ops/tile_sweep.py).
+    """
+    t = tiles_t.transpose(2, 1, 0, 3, 4).reshape(d, 4, k, d * d)
+    out = tile_sweep_pallas_plane(
+        t, k=k, d=d, ws=ws, eps=eps, chunk=chunk, cutoff2=cutoff2,
+        interpret=interpret,
+    )
+    l = d * d
+    out = out[:, :, :, :l].reshape(d, 3, k, d, d)
     return out.transpose(2, 1, 0, 3, 4)

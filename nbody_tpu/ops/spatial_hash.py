@@ -419,13 +419,15 @@ def hash_engine_params(config: SimulationConfig, pos=None) -> dict:
         if d * d * d * k > (1 << 24):
             k = max(8, ((1 << 24) // (d * d * d)) // 8 * 8)
         # Tile-build window from the measured density: a scatter chunk
-        # of r slots covers r/k cells whose sorted rows span ~(r/k)·occ;
-        # 1.25× headroom + the 128-align slack (the Barnes-Hut engine's
-        # measured-safe margin at occ 7.3). MXU pass count scales with
-        # w, and the window-miss audit + exact-scatter fallback catch
-        # scenes that outgrow it (never silent).
-        r_chunk = math.gcd(d * d * d * k, 1024)
-        need = (r_chunk / k) * occupancy * 1.25 + 128
+        # spans g·d cells (tile_near_field's z-column chunk rule) whose
+        # sorted rows span ~cells·occ; 1.25× headroom + the 128-align
+        # slack (the Barnes-Hut engine's measured-safe margin at occ
+        # 7.3). MXU pass count scales with w; chunks denser than w take
+        # the kernel's second-window pass (exact to 2w) and anything
+        # beyond 2w is counted into the overflow audit (never silent).
+        g = 128 // math.gcd(d * k, 128)
+        q_cells = g * d
+        need = q_cells * occupancy * 1.25 + 128
         build_window = int(min(1024, max(256, -(-need // 128) * 128)))
         if engine == "auto":
             # Tiles win while the k ≈ 2·occ slot cap is affordable

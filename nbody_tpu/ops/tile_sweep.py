@@ -101,13 +101,20 @@ def tile_near_field(
     overflow = jnp.sum((rank_sorted >= k).astype(jnp.int32))
 
     m = num_cells * k
-    # Largest power-of-two chunk ≤ 1024 dividing m (m is a multiple of 512
-    # for any d ≥ 4, k multiple of 8; smaller grids fall back to XLA).
-    r_chunk = math.gcd(m, 1024)
+    # Scatter chunks span whole z-columns: q = g·d cells per chunk with g
+    # the smallest factor making the output block lane count r = q·k a
+    # multiple of 128. g | d keeps chunks inside one x-plane, which is
+    # what lets the slot-major scatter output reach the sweep kernel's
+    # plane-major layout in ONE contiguous-run transpose (the old
+    # halo-padded relayout cost ~22 ms/step at 1M, profile_r3h.py).
+    g = 128 // math.gcd(d * k, 128)
+    r_chunk = g * d * k
     pallas_ok = (
         impl in ("pallas", "pallas_interpret")
-        # output blocks need 128-aligned lanes
-        and r_chunk >= 128
+        # one transpose from scatter output to sweep input needs g | d;
+        # r is the scatter's output block — keep it VMEM-sized
+        and d % g == 0
+        and r_chunk <= 4096
         # the sweep kernel's slot GROUPS are 8-sublane blocks
         and (k <= 8 or k % 8 == 0)
         # one-hot dest ids ride in f32: integers are exact up to 2^24
@@ -128,18 +135,23 @@ def tile_near_field(
         #          sweep below (which streams every (K, cells)
         #          intermediate through HBM).
         from nbody_tpu.ops.pallas_scatter import monotone_scatter_tiles
-        from nbody_tpu.ops.pallas_tile_near import tile_sweep_pallas
+        from nbody_tpu.ops.pallas_tile_near import tile_sweep_pallas_plane
 
         _interp = impl == "pallas_interpret"
         # w=640 measured: kernel 22.6 -> 16.2 ms at 1M (one-hot compare
         # count scales with w); covers the dense core (64 cells x occ
-        # 7.3 + 127 alignment = 594), audits 0 on the bench scenes
-        # (512 misses 10863 rows). Denser scenes are caught by the
-        # window_miss audit and recovered via the exact-scatter fallback
-        # below (lax.cond) — capacity misses are never silent. Sparse
-        # callers (hash tiles at occ ~1) pass a tighter build_window:
-        # MXU pass count scales with w.
-        w_win = 640 if build_window is None else build_window
+        # 7.3 + 127 alignment = 594) in ONE window on the bench scenes.
+        # Denser chunks loop further windows IN-KERNEL (prefetched count)
+        # — the build is exact for any density, w is purely a perf tune
+        # (the old whole-array lax.cond fallback cost ~55 ms on EVERY
+        # step at 1M, scripts/profile_r3j.py). Sparse callers (hash
+        # tiles at occ ~1) pass a tighter build_window. Chunks wider
+        # than the tuned 64 cells scale the default proportionally.
+        q_cells = r_chunk // k
+        if build_window is not None:
+            w_win = build_window
+        else:
+            w_win = 640 if q_cells <= 64 else -(-(q_cells * 10) // 128) * 128
         dest = jnp.where(
             rank_sorted < k, ids_sorted * k + rank_sorted, 1 << 24
         )
@@ -155,42 +167,37 @@ def tile_near_field(
         else:
             starts = cell_starts_at(ids_sorted, c0)
             ends = cell_starts_at(ids_sorted, c1)
-        # Rows past a chunk's window would be MISSED near-field sources,
-        # never misplaced ones. The kernel aligns starts DOWN to 128 (DMA
-        # provability), so the effective coverage begins at the aligned
-        # start. Mirroring the pyramid-moments path, a nonzero miss count
-        # falls back to the exact XLA tile build — window capacity is a
-        # performance tune, not a correctness knob.
-        window_miss = jnp.sum(
-            jnp.maximum(ends - (starts // 128) * 128 - w_win, 0)
+        # The kernel aligns starts DOWN to 128 (DMA provability) and
+        # loops as many w-wide windows as the chunk's span needs — the
+        # build misses nothing at any density, so `overflow` counts ONLY
+        # k-slot overflow (the engine's one capacity contract).
+        span = ends - (starts // 128) * 128
+        nwin = -(-span // w_win)
+
+        tiles_cm = monotone_scatter_tiles(
+            grid.psort, dest, starts, lo, cell,
+            k=k, d=d, r=r_chunk, w=w_win, q=q_cells,
+            nwin=nwin, interpret=_interp,
+        )  # (4, m) slot-major chunk blocks
+        # The ONE relayout pass of the near chain: slot-major chunk
+        # blocks (4, [x, y_blk], k, [y_in, z]) → plane-major
+        # (x, 4, k, y·z). Inner z runs (d elements) stay contiguous on
+        # both sides. (An MXU eye-einsum relayout measured SLOWER in r2;
+        # the old halo-padded layout needed two strided transposes plus
+        # two pad passes here.)
+        tiles_plane = (
+            tiles_cm.reshape(4, d, d // g, k, g, d)
+            .transpose(1, 0, 3, 2, 4, 5)
+            .reshape(d, 4, k, d * d)
         )
-
-        def _pallas_tiles():
-            return monotone_scatter_tiles(
-                grid.psort, dest, starts, lo, cell,
-                k=k, d=d, r=r_chunk, w=w_win, interpret=_interp,
-            )  # (4, d³·k) channel-major
-
-        def _xla_tiles():
-            tiles = _xla_tile_build(
-                grid.psort, ids_sorted, rank_sorted, lo, cell, d=d, k=k,
-                dtype=pos.dtype,
-            )
-            return tiles.reshape(num_cells * k, 4).T
-
-        tiles_cm = jax.lax.cond(window_miss == 0, _pallas_tiles, _xla_tiles)
-        # NOTE (measured, r2): replacing this XLA transpose with an MXU
-        # eye-einsum relayout + raw-layout pickup REGRESSED the full BH
-        # step 117 → 130 ms (XLA canonicalizes the einsum back through
-        # transposes). The dormant pre_transposed/raw_output kernel
-        # options remain for future layout experiments.
-        tiles_t = tiles_cm.reshape(4, d, d, d, k).transpose(4, 0, 1, 2, 3)
-        acc_slots = tile_sweep_pallas(
-            tiles_t, k=k, d=d, ws=ws, eps=eps, cutoff2=cutoff2,
+        acc_raw = tile_sweep_pallas_plane(
+            tiles_plane, k=k, d=d, ws=ws, eps=eps, cutoff2=cutoff2,
             interpret=_interp,
+        )  # (d, 3, k, nc·c) raw lanes
+        acc = _slot_pickup_raw(
+            acc_raw, grid, ids_sorted, rank_sorted, d, k, n, G,
+            sorted_output=sorted_output,
         )
-        acc = _slot_pickup(acc_slots, grid, ids_sorted, rank_sorted, k, n, G,
-                           sorted_output=sorted_output)
         return acc, overflow
 
     tiles = _xla_tile_build(
@@ -259,8 +266,8 @@ def _xla_tile_build(
     row indices into (d³·(k+1), 4) — measured ~10× faster on TPU than the
     equivalent 4-D index scatter (slot k is the overflow sink, sliced off).
     Slow (~50 ms at 1M rows: XLA scatters are descriptor-serialized) but
-    windowless — it doubles as the lax.cond fallback when the Pallas
-    build's window audit fires.
+    windowless — the impl="xla" engine build and the equivalence oracle
+    the Pallas path is tested against.
     """
     num_cells = d * d * d
     cgrid = jnp.stack(
@@ -286,6 +293,30 @@ def _xla_tile_build(
         init.at[flat].set(psort, unique_indices=True)
         .reshape(d, d, d, k + 1, 4)[:, :, :, :k, :]
     )
+
+
+def _slot_pickup_raw(acc_raw, grid, ids_sorted, rank_sorted, d, k, n, G,
+                     sorted_output: bool = False):
+    """Per-particle pickup from the sweep kernel's RAW (d, 3, k, NC·C)
+    output: one XLA relayout to row-major (cell·k + slot, 3) then a
+    LINEAR row gather. (The 4-axis advanced-index gather straight off
+    the raw layout measured ~2 ms SLOWER at 1M — r3j variant B vs D —
+    XLA's batched gather beats the multi-axis one here.)"""
+    from nbody_tpu.ops.sorted_window import unsort_rows
+
+    l = d * d
+    acc_t = (
+        acc_raw[:, :, :, :l]          # strip lane-chunk padding
+        .reshape(d, 3, k, d, d)       # (x, ch, slot, y, z)
+        .transpose(0, 3, 4, 2, 1)     # (x, y, z, slot, ch)
+        .reshape(d * d * d * k, 3)
+    )
+    rank_read = jnp.minimum(rank_sorted, k - 1)
+    acc_sorted = acc_t[ids_sorted * k + rank_read]  # (N, 3)
+    acc_sorted = jnp.where((rank_sorted < k)[:, None], acc_sorted, 0.0)
+    if sorted_output:
+        return G * acc_sorted
+    return unsort_rows(G * acc_sorted, grid.order)
 
 
 def _slot_pickup(acc_slots, grid, ids_sorted, rank_sorted, k, n, G,

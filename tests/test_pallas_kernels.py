@@ -118,6 +118,68 @@ def test_monotone_scatter_contract():
         assert ((v >= lo_b - 1e-5) & (v <= lo_b + cw + 1e-5)).all()
 
 
+def test_monotone_scatter_window_loop():
+    """A window far smaller than the densest chunk's span forces the
+    kernel's in-kernel window LOOP (lax.fori_loop over source DMAs);
+    the result must be IDENTICAL to a single-window run that covers
+    everything — the build is exact at any density, w is a perf tune."""
+    from nbody_tpu.ops.pallas_scatter import monotone_scatter_tiles
+
+    n, d, k = 1500, 8, 8
+    s, grid, lo, cell, _ = _sorted_scene(n, d)
+    nc = d**3
+    ids_sorted = (
+        grid.csort[:, 0] * d + grid.csort[:, 1]
+    ) * d + grid.csort[:, 2]
+    ar = jnp.arange(n, dtype=jnp.int32)
+    rank = ar - grid.cell_start[ids_sorted]
+    r = 512
+    dest = jnp.where(rank < k, ids_sorted * k + rank, 1 << 24)
+    car = jnp.arange(nc * k // r, dtype=jnp.int32)
+    starts = grid.cell_start[(car * r) // k]
+
+    wide = monotone_scatter_tiles(
+        grid.psort, dest, starts, lo, cell,
+        k=k, d=d, r=r, w=2048, interpret=True,
+    )
+    # w=128: the dense spherical core spans many windows per chunk
+    looped = monotone_scatter_tiles(
+        grid.psort, dest, starts, lo, cell,
+        k=k, d=d, r=r, w=128, interpret=True,
+    )
+    assert (np.asarray(looped) == np.asarray(wide)).all()
+
+
+def test_monotone_segment_sum_window_loop():
+    """Same exactness contract for the segment-sum kernel: partial sums
+    from looped windows must reproduce the single-window result to f32
+    reduction tolerance (summation order differs across windows)."""
+    from nbody_tpu.ops.pallas_scatter import monotone_segment_sum
+
+    n, d = 1500, 8
+    s, grid, lo, cell, _ = _sorted_scene(n, d)
+    nc = d**3
+    ids_sorted = (
+        grid.csort[:, 0] * d + grid.csort[:, 1]
+    ) * d + grid.csort[:, 2]
+    vals = jnp.concatenate(
+        [grid.psort[:, 3:4], grid.psort[:, 3:4] * grid.psort[:, :3]],
+        axis=-1,
+    )
+    want = jnp.zeros((nc, 4)).at[ids_sorted].add(vals)
+    r = 128
+    n_chunks = -(-nc // r)
+    car = jnp.arange(n_chunks, dtype=jnp.int32)
+    starts = grid.cell_start[jnp.minimum(car * r, nc)]
+
+    got = monotone_segment_sum(
+        vals, ids_sorted, starts, num_dest=nc, r=r, w=128, interpret=True
+    ).T
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_window_sweep_pallas_matches_xla():
     """Pallas sorted-window sweep ≡ the XLA window_sweep path (same
     windows, same validity predicate, cutoff-before-softening)."""
