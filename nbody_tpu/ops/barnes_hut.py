@@ -864,8 +864,10 @@ def barnes_hut_forces_sorted(
     near_k: int = 16,
     multipole_order: int = 2,
     near_impl: str | None = None,
+    extra=None,
 ):
-    """Sorted-pipeline BH forces → ``(acc_sorted, psort, order)``.
+    """Sorted-pipeline BH forces → ``(acc_sorted, psort, order)``, or
+    ``(acc_sorted, psort, order, extra_sorted)`` when ``extra`` is given.
 
     The same physics as ``barnes_hut_forces`` on the tiles/pallas fast
     path, but every output stays in the engine's internal CELL-SORTED row
@@ -873,8 +875,9 @@ def barnes_hut_forces_sorted(
     ``order`` maps original row i → sorted position (``psort =
     stacked(pos, mass)[order]``). Callers that STEP in sorted order
     (ops/integrator.make_sorted_multi_step) skip the ~13 ms/1M unsort
-    gather every step and re-sort their own payload with one
-    width-insensitive gather instead.
+    gather every step; ``extra`` (N, E) f32 payload rides the engine's
+    OWN sort gather for free (width-insensitive rows), deleting the
+    integrator's separate payload gather too.
     """
     if near_impl is None:
         near_impl = resolve_impl("NBODY_PALLAS_NEAR")
@@ -886,7 +889,7 @@ def barnes_hut_forces_sorted(
         pos, mass, G, softening, theta,
         levels=levels, window=2048, near_engine="tiles",
         near_k=near_k, multipole_order=multipole_order,
-        near_impl=near_impl, sorted_output=True,
+        near_impl=near_impl, sorted_output=True, extra=extra,
     )
 
 
@@ -919,6 +922,7 @@ def _barnes_hut_forces(
     multipole_order: int,
     near_impl: str,
     sorted_output: bool = False,
+    extra=None,
 ):
     ws = theta_to_ws(theta, order=multipole_order)
     d_fine = 1 << levels
@@ -957,15 +961,45 @@ def _barnes_hut_forces(
         grid = build_sorted_grid(
             pos, mass, coords, d,
             with_cell_start=use_full_cell_start(d * d * d),
+            extra=extra,
         )
-        ids_sorted = (
-            grid.csort[:, 0] * d + grid.csort[:, 1]
-        ) * d + grid.csort[:, 2]
+        ids_sorted = grid.ids
         packed = _sorted_finest_moments(
             grid, ids_sorted, lo, cell, d, multipole_order,
             interpret=near_impl == "pallas_interpret",
         )
         pyr = pyramid_from_packed(packed, lo, cell, levels, multipole_order)
+        from nbody_tpu.ops.tile_sweep import tile_engine_fused
+
+        if tile_engine_fused(d, near_k, near_impl):
+            # Far field rides the near sweep: grids computed UNSCALED
+            # (G folds in at pickup), laid out plane-major, and each
+            # slot seeds its accumulator with the local expansion at
+            # its own position inside the Pallas kernel — no separate
+            # 19-channel per-particle gather + tensor math stage
+            # (17.6 ms at 1M, scripts/profile_r3m.py).
+            a_far, j_far, h_far = far_field_grid(
+                pyr, ws, 1.0, softening, levels
+            )
+            parts = [a_far, j_far] + (
+                [h_far] if h_far is not None else []
+            )
+            packed_g = jnp.concatenate(parts, axis=-1)  # (d, d, d, C)
+            far_plane = packed_g.reshape(
+                d, d * d, packed_g.shape[-1]
+            ).transpose(0, 2, 1)  # (d, C, d²)
+            acc, _over = tile_near_field(
+                pos, mass, coords, lo, cell,
+                d=d, ws=ws, k=near_k, G=G, eps=softening, grid=grid,
+                impl=near_impl, sorted_output=sorted_output,
+                far_plane=far_plane,
+            )
+            if sorted_output:
+                if extra is not None:
+                    return acc, grid.psort, grid.order, grid.extra
+                return acc, grid.psort, grid.order
+            return acc
+
         a_far, j_far, h_far = far_field_grid(pyr, ws, G, softening, levels)
         a_near, _over = tile_near_field(
             pos, mass, coords, lo, cell,
@@ -994,6 +1028,8 @@ def _barnes_hut_forces(
                 sym3_matvec(vals[:, 9:19], delta), delta
             )
         if sorted_output:
+            if extra is not None:
+                return a_near + pick, grid.psort, grid.order, grid.extra
             return a_near + pick, grid.psort, grid.order
         return a_near + pick
 
@@ -1124,7 +1160,7 @@ def make_barnes_hut_forces_sorted(config: SimulationConfig):
     if p["near_engine"] != "tiles" or d**3 * p["near_k"] >= (1 << 24):
         return None
 
-    def sorted_force_fn(pos, mass):
+    def sorted_force_fn(pos, mass, extra=None):
         return _barnes_hut_forces(
             pos,
             mass,
@@ -1138,6 +1174,7 @@ def make_barnes_hut_forces_sorted(config: SimulationConfig):
             multipole_order=p["multipole_order"],
             near_impl=near_impl,
             sorted_output=True,
+            extra=extra,
         )
 
     return sorted_force_fn

@@ -86,11 +86,13 @@ def initialize_forces(state: ParticleState, force_fn: ForceFn) -> ParticleState:
 # ONE width-insensitive gather, and the original order is reconstructed
 # once at readout, not once per step.
 
-# sorted_force_fn(pos (N,3), mass (N,)) ->
-#   (acc_sorted (N,3), psort (N,4) [x,y,z,mass], order (N,) i32)
-SortedForceFn = Callable[
-    [jax.Array, jax.Array], tuple[jax.Array, jax.Array, jax.Array]
-]
+# sorted_force_fn(pos (N,3), mass (N,), extra (N,E) f32 | None) ->
+#   (acc_sorted (N,3), psort (N,4) [x,y,z,mass], order (N,) i32
+#    [, extra_sorted (N,E) — iff extra was given])
+# ``extra`` rides the engine's OWN sort gather (row gathers are
+# width-insensitive on TPU, so the columns are free) — the integrator
+# ships its payload there instead of paying a second 1M-row gather.
+SortedForceFn = Callable[..., tuple]
 
 
 @jax.tree_util.register_dataclass
@@ -136,16 +138,17 @@ def sorted_verlet_step(
     """One Velocity Verlet step entirely in sorted space.
 
     The half-kicked velocity and the original-row tag ride through the
-    force's permutation as ONE stacked payload gather (XLA row gathers
-    are width-insensitive: 1 and 19 columns both cost ~3 ms at 1M). The
-    int32 tag rides bit-exactly via a bitcast — it is only gathered,
-    never computed on.
+    force's INTERNAL sort gather as its ``extra`` payload (XLA row
+    gathers are width-insensitive: the engine already gathers its
+    pos/mass/id payload, so 4 more columns are free — a separate payload
+    gather measured ~3 ms at 1M). The int32 tag rides bit-exactly via a
+    bitcast — it is only gathered, never computed on. (f32 pipelines
+    only: an f64 payload dtype would value-convert the bitcast columns.)
     """
     dt = jnp.asarray(dt, s.pos.dtype)
     pos_d = s.pos + s.vel * dt + (0.5 * dt * dt) * s.acc
     vel_h = s.vel + (0.5 * dt) * s.acc
-    acc_s, psort, order = sorted_force_fn(pos_d, s.mass)
-    payload = jnp.concatenate(
+    extra = jnp.concatenate(
         [
             vel_h,
             jax.lax.bitcast_convert_type(
@@ -153,9 +156,10 @@ def sorted_verlet_step(
             )[:, None],
         ],
         axis=-1,
-    )[order]
-    vel_s = payload[:, :3] + (0.5 * dt) * acc_s
-    to_orig = jax.lax.bitcast_convert_type(payload[:, 3], jnp.int32)
+    )
+    acc_s, psort, order, extra_s = sorted_force_fn(pos_d, s.mass, extra)
+    vel_s = extra_s[:, :3] + (0.5 * dt) * acc_s
+    to_orig = jax.lax.bitcast_convert_type(extra_s[:, 3], jnp.int32)
     return SortedState(
         pos=psort[:, :3], vel=vel_s, acc=acc_s, mass=psort[:, 3],
         to_orig=to_orig, time=s.time + dt,

@@ -46,14 +46,27 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _near_kernel(tiles_hbm, acc_ref, *, k, ws, d, c, m, eps, zero_guard,
-                 cutoff2):
+def _near_kernel(*refs, k, ws, d, c, m, eps, zero_guard,
+                 cutoff2, with_far):
     """One (x-plane, lane-chunk) program.
 
     tiles_hbm: (D+2ws, 4, K, Lp) ANY — x-padded planes, lanes = flattened
                RAW (y, z) with an M-lane zero margin at both ends
     acc_ref:   (1, 3, K, C) VMEM — this chunk's per-slot accelerations
+
+    With ``with_far`` two more refs lead: geom (1, 128) VMEM
+    [lo_x, lo_y, lo_z, cell] and far (1, 19, C) VMEM — the far-field
+    local expansion [A3 | J6 | H10] of this chunk's cells (channel order
+    of ops/barnes_hut.far_field_grid). Each live target slot adds
+    a_far = A + J·δ + ½(H·δ)·δ at ITS OWN position (δ = slot − center),
+    deleting the separate 19-channel per-particle gather + symmetric
+    tensor math stage (measured 17.6 ms at 1M, scripts/profile_r3m.py) —
+    the per-slot math here rides the already-resident target registers.
     """
+    if with_far:
+        geom_ref, tiles_hbm, far_ref, acc_ref = refs
+    else:
+        tiles_hbm, acc_ref = refs
     w1 = 2 * ws + 1
     eps2 = eps * eps
     i = pl.program_id(0)
@@ -121,9 +134,8 @@ def _near_kernel(tiles_hbm, acc_ref, *, k, ws, d, c, m, eps, zero_guard,
         # cell ((y±1, z∓(D-1)) — the flattened-lane wrap); zero its mass.
         # y overflow needs no mask: the lane leaves the data region into
         # the zero margins. Computed once per program; 2·ws live vregs.
-        lane_z = (
-            j * c + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
-        ) % d
+        lane = j * c + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+        lane_z = lane % d
         zmasks = {
             zo: ((lane_z + zo >= 0) & (lane_z + zo < d)).astype(
                 jnp.float32
@@ -131,6 +143,47 @@ def _near_kernel(tiles_hbm, acc_ref, *, k, ws, d, c, m, eps, zero_guard,
             for zo in range(-ws, ws + 1)
             if zo != 0
         }
+
+        if with_far:
+            # Cell centers of this chunk's lanes (for δ = slot − center).
+            lo_x = geom_ref[0, 0]
+            lo_y = geom_ref[0, 1]
+            lo_z = geom_ref[0, 2]
+            cw = geom_ref[0, 3]
+            cxs = lo_x + (i.astype(jnp.float32) + 0.5) * cw      # scalar
+            cys = lo_y + ((lane // d).astype(jnp.float32) + 0.5) * cw
+            czs = lo_z + (lane_z.astype(jnp.float32) + 0.5) * cw  # (1, C)
+
+        def _far_eval(tx, ty, tz):
+            """A + J·δ (+ ½(H·δ)·δ for 19-channel order-2 grids) at
+            δ = target − center, as (GT, C) blocks. Component orders
+            mirror ops/barnes_hut.sym_matvec / sym3_matvec: J6
+            [xx,yy,zz,xy,xz,yz], H10 [xxx,yyy,zzz,xxy,xxz,xyy,yyz,xzz,
+            yzz,xyz]. Filler slots sit AT the center (δ=0) → exactly A;
+            they are never picked up anyway."""
+            n_far = far_ref.shape[1]
+            dx = tx - cxs                                        # (GT, C)
+            dy = ty - cys
+            dz = tz - czs
+            f = [far_ref[0, ch][None] for ch in range(n_far)]    # (1, C)
+            jdx = f[3] * dx + f[6] * dy + f[7] * dz
+            jdy = f[6] * dx + f[4] * dy + f[8] * dz
+            jdz = f[7] * dx + f[8] * dy + f[5] * dz
+            fx = f[0] + jdx
+            fy = f[1] + jdy
+            fz = f[2] + jdz
+            if n_far > 9:
+                # hd = (H·δ) in 6-form, then ½·(hd·δ)
+                hxx = f[9] * dx + f[12] * dy + f[13] * dz
+                hyy = f[14] * dx + f[10] * dy + f[15] * dz
+                hzz = f[16] * dx + f[17] * dy + f[11] * dz
+                hxy = f[12] * dx + f[14] * dy + f[18] * dz
+                hxz = f[13] * dx + f[18] * dy + f[16] * dz
+                hyz = f[18] * dx + f[15] * dy + f[17] * dz
+                fx = fx + 0.5 * (hxx * dx + hxy * dy + hxz * dz)
+                fy = fy + 0.5 * (hxy * dx + hyy * dy + hyz * dz)
+                fz = fz + 0.5 * (hxz * dx + hyz * dy + hzz * dz)
+            return fx, fy, fz
 
         # Geometric occupancy skip (masses are non-negative; a zero-mass
         # source contributes exact zeros, so skipping is numerically
@@ -175,12 +228,20 @@ def _near_kernel(tiles_hbm, acc_ref, *, k, ws, d, c, m, eps, zero_guard,
                 @pl.when(tg_any != 0.0)
                 def _live_targets(tg=tg, r0=r0, gt=gt,
                                   tx=tx, ty=ty, tz=tz):
+                    # Far-field local expansion seeds the accumulator
+                    # (per-slot, at the slot's own position) — the near
+                    # pair sweep then adds on top and ONE pickup gather
+                    # serves both fields.
+                    if with_far:
+                        ax, ay, az = _far_eval(tx, ty, tz)  # (GT, C)
+                    else:
+                        z = jnp.zeros((gt, c), jnp.float32)
+                        ax, ay, az = z, z, z
                     # Head sources (slots 0..7): always live here, pure
                     # register accumulation, branch-free.
-                    z = jnp.zeros((gt, c), jnp.float32)
                     ax, ay, az = _sweep_rows(
                         slab, zmasks, range(0, min(kg, k)),
-                        tx, ty, tz, z, z, z)
+                        tx, ty, tz, ax, ay, az)
 
                     # Tail sources: one branch per group of 8 rows; the
                     # dead branch writes zeros so the unconditional add
@@ -240,11 +301,21 @@ def tile_sweep_pallas_plane(
     eps: float,
     chunk: int = 512,
     cutoff2: float | None = None,
+    far_plane: jax.Array | None = None,
+    lo: jax.Array | None = None,
+    cell: jax.Array | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """(D, 4, K, D²) plane-major slot tensor → (D, 3, K, NC·C) raw
     per-slot accelerations (lane y·D + z for cell (y, z); lanes ≥ D² are
     chunk padding). Returns un-scaled accelerations (multiply by G).
+
+    ``far_plane`` (D, n_far, D²) — per-cell far-field local expansion
+    [A3 | J6 (| H10)] in the SAME plane-major lane layout (requires
+    ``lo``/``cell`` grid geometry): each live slot seeds its accumulator
+    with the expansion evaluated at its own position, so the near pickup
+    gather serves BOTH fields and the separate per-particle far pickup
+    (gather + symmetric tensor math, 17.6 ms at 1M) disappears.
 
     This is the production entry point: its input is ONE contiguous-run
     transpose away from the scatter kernel's slot-major chunk output, and
@@ -262,15 +333,37 @@ def tile_sweep_pallas_plane(
         [(ws, ws), (0, 0), (0, 0), (m, m + nc * c - l)],
     )  # (D+2ws, 4, K, Lp)
 
+    with_far = far_plane is not None
     zero_guard = eps == 0.0
+    kernel = functools.partial(
+        _near_kernel, k=k, ws=ws, d=d, c=c, m=m, eps=float(eps),
+        zero_guard=zero_guard,
+        cutoff2=None if cutoff2 is None else float(cutoff2),
+        with_far=with_far,
+    )
+    if with_far:
+        n_far = far_plane.shape[1]
+        fp = jnp.pad(
+            far_plane.astype(jnp.float32), [(0, 0), (0, 0), (0, nc * c - l)]
+        )
+        geom = jnp.zeros((1, 128), jnp.float32)
+        geom = geom.at[0, :3].set(lo.astype(jnp.float32))
+        geom = geom.at[0, 3].set(jnp.asarray(cell, jnp.float32))
+        in_specs = [
+            pl.BlockSpec((1, 128), lambda i, j: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, n_far, c), lambda i, j: (i, 0, j)),
+        ]
+        operands = (geom, t, fp)
+        far_bytes = n_far * c * 4
+    else:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+        operands = (t,)
+        far_bytes = 0
     out = pl.pallas_call(
-        functools.partial(
-            _near_kernel, k=k, ws=ws, d=d, c=c, m=m, eps=float(eps),
-            zero_guard=zero_guard,
-            cutoff2=None if cutoff2 is None else float(cutoff2),
-        ),
+        kernel,
         grid=(d, nc),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 3, k, c), lambda i, j: (i, 0, 0, j),
             memory_space=pltpu.VMEM,
@@ -283,11 +376,11 @@ def tile_sweep_pallas_plane(
         cost_estimate=pl.CostEstimate(
             flops=int(w1**3) * k * k * d * nc * c * 12,
             bytes_accessed=int(d) * nc * (w1 * 4 * k * (c + 2 * m)
-                                          + 3 * k * c) * 4,
+                                          + 3 * k * c + far_bytes // 4) * 4,
             transcendentals=int(w1**3) * k * k * d * nc * c,
         ),
         interpret=interpret,
-    )(t)
+    )(*operands)
     return out
 
 

@@ -289,8 +289,12 @@ def _spatial_hash_forces_tiles(
 def spatial_hash_forces_tiles_sorted(
     pos, mass, G=1.0, softening=0.1, *,
     cutoff=2.0, cell_size=1.0, d=64, k=8, build_window=None, impl=None,
+    extra=None,
 ):
-    """Sorted-pipeline hash-tiles forces → ``(acc_sorted, psort, order)``.
+    """Sorted-pipeline hash-tiles forces → ``(acc_sorted, psort, order)``,
+    or ``(acc_sorted, psort, order, extra_sorted)`` when ``extra`` (N, E)
+    f32 payload rides the engine's sort gather (free: width-insensitive
+    row gathers).
 
     The same physics as ``spatial_hash_forces_tiles`` but outputs stay in
     the engine's internal CELL-SORTED row order (the contract of
@@ -304,7 +308,7 @@ def spatial_hash_forces_tiles_sorted(
         impl = resolve_impl("NBODY_PALLAS_NEAR")
     return _spatial_hash_tiles_sorted(
         pos, mass, G, softening, cutoff=cutoff, cell_size=cell_size,
-        d=d, k=k, build_window=build_window, impl=impl,
+        d=d, k=k, build_window=build_window, impl=impl, extra=extra,
     )
 
 
@@ -314,7 +318,8 @@ def spatial_hash_forces_tiles_sorted(
                      "build_window", "impl"),
 )
 def _spatial_hash_tiles_sorted(
-    pos, mass, G, softening, *, cutoff, cell_size, d, k, build_window, impl
+    pos, mass, G, softening, *, cutoff, cell_size, d, k, build_window, impl,
+    extra=None,
 ):
     from nbody_tpu.ops.sorted_window import (
         build_sorted_grid,
@@ -329,6 +334,7 @@ def _spatial_hash_tiles_sorted(
     grid = build_sorted_grid(
         pos, mass, coords, d,
         with_cell_start=use_full_cell_start(d * d * d),
+        extra=extra,
     )
     acc, _over = tile_near_field(
         pos, mass, coords, lo, jnp.asarray(cell_size, pos.dtype),
@@ -336,6 +342,8 @@ def _spatial_hash_tiles_sorted(
         cutoff2=float(cutoff) * float(cutoff), sorted_output=True,
         build_window=build_window,
     )
+    if extra is not None:
+        return acc, grid.psort, grid.order, grid.extra
     return acc, grid.psort, grid.order
 
 
@@ -354,10 +362,10 @@ def make_spatial_hash_forces_sorted(
     cell = config.spatial_hash_cell_size
     tile_d, tile_k, bw = p["tile_d"], p["tile_k"], p["build_window"]
 
-    def sorted_force_fn(pos, mass):
+    def sorted_force_fn(pos, mass, extra=None):
         return spatial_hash_forces_tiles_sorted(
             pos, mass, G, eps, cutoff=cutoff, cell_size=cell,
-            d=tile_d, k=tile_k, build_window=bw,
+            d=tile_d, k=tile_k, build_window=bw, extra=extra,
         )
 
     sorted_force_fn.engine_params = p
@@ -400,7 +408,7 @@ def hash_engine_params(config: SimulationConfig, pos=None) -> dict:
         # while one-hot dest ids stay f32-exact (d³·k ≤ 2²⁴,
         # pallas_scatter SENTINEL contract).
         d = -(-need_d // 8) * 8
-        while d > 8 and d * d * d * max(k, 8) > (1 << 24):
+        while d > 8 and d * d * d * max(k, 8) >= (1 << 24):
             d -= 8
         tile_d = d
         covers = d >= need_d
@@ -416,8 +424,8 @@ def hash_engine_params(config: SimulationConfig, pos=None) -> dict:
         # residual Poisson-tail drops (the same graceful-degradation
         # contract as the Barnes-Hut near k).
         k = int(min(32, max(k, -(-int(2.0 * occupancy) // 8) * 8)))
-        if d * d * d * k > (1 << 24):
-            k = max(8, ((1 << 24) // (d * d * d)) // 8 * 8)
+        if d * d * d * k >= (1 << 24):
+            k = max(8, ((1 << 24) - 1) // (d * d * d) // 8 * 8)
         # Tile-build window from the measured density: a scatter chunk
         # spans g·d cells (tile_near_field's z-column chunk rule) whose
         # sorted rows span ~cells·occ; 1.25× headroom + the 128-align

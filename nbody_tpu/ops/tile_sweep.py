@@ -31,6 +31,35 @@ import jax.numpy as jnp
 from nbody_tpu.ops.sorted_window import build_sorted_grid
 
 
+def tile_engine_fused(d: int, k: int, impl: str | None) -> bool:
+    """True iff ``tile_near_field`` will take the fused Pallas pipeline
+    (MXU scatter build → plane sweep → raw pickup) for this (d, k, impl)
+    — the SINGLE predicate callers use to decide whether far-field
+    folding (``far_plane``) is available. All conditions are static:
+
+      * Scatter chunks span whole z-columns: q = g·d cells per chunk
+        with g the smallest factor making the output block lane count
+        r = g·d·k a multiple of 128; g | d keeps chunks inside one
+        x-plane (that is what lets the slot-major scatter output reach
+        the sweep's plane-major layout in ONE contiguous-run transpose —
+        the old halo-padded relayout cost ~22 ms/step at 1M), and r
+        stays VMEM-block-sized.
+      * The sweep kernel's slot GROUPS are 8-sublane blocks.
+      * One-hot dest ids ride in f32: exact only up to 2²⁴
+        (pallas_scatter.SENTINEL contract) — larger grids would DROP
+        rows silently, so they take the XLA path instead.
+    """
+    if impl not in ("pallas", "pallas_interpret"):
+        return False
+    g = 128 // math.gcd(d * k, 128)
+    return (
+        d % g == 0
+        and g * d * k <= 4096
+        and (k <= 8 or k % 8 == 0)
+        and d * d * d * k < (1 << 24)
+    )
+
+
 def tile_near_field(
     pos: jax.Array,
     mass: jax.Array,
@@ -48,12 +77,22 @@ def tile_near_field(
     sorted_output: bool = False,
     cutoff2: float | None = None,
     build_window: int | None = None,
+    far_plane: jax.Array | None = None,
 ):
     """Exact near-field acceleration within the (2ws+1)³ cell ball.
 
     ``cutoff2`` adds the spatial-hash pair predicate (RAW r² ≤ cutoff²,
     tested BEFORE softening — reference force_spatial_hash.cu:120-139),
     turning this into the sparse-regime short-range engine.
+
+    ``far_plane`` (D, n_far, D²) per-cell far-field local expansion
+    [A3 | J6 (| H10)], UNSCALED by G: the Pallas sweep kernel seeds each
+    slot with the expansion at the slot's own position and the pickup
+    serves near+far in one gather (slot-overflow rows fall back to the
+    expansion's A term at their cell center — consistent with losing
+    their near contribution, and counted by the same audit). Only valid
+    on the Pallas fast path — callers must check ``tile_engine_fused``
+    and evaluate the far field separately otherwise.
 
     Returns (acc (N, 3) in original order, overflow count). Pass a
     prebuilt ``grid`` (build_sorted_grid output for the same coords) to
@@ -86,9 +125,7 @@ def tile_near_field(
             with_cell_start=use_full_cell_start(num_cells),
         )
 
-    ids_sorted = (
-        grid.csort[:, 0] * d + grid.csort[:, 1]
-    ) * d + grid.csort[:, 2]
+    ids_sorted = grid.ids
     # rank within cell, in sorted order — via the d³ segment index when
     # the grid carries one (faster at d ≤ 64, see use_full_cell_start),
     # else O(N) from the sorted ids alone (large grids)
@@ -101,27 +138,15 @@ def tile_near_field(
     overflow = jnp.sum((rank_sorted >= k).astype(jnp.int32))
 
     m = num_cells * k
-    # Scatter chunks span whole z-columns: q = g·d cells per chunk with g
-    # the smallest factor making the output block lane count r = q·k a
-    # multiple of 128. g | d keeps chunks inside one x-plane, which is
-    # what lets the slot-major scatter output reach the sweep kernel's
-    # plane-major layout in ONE contiguous-run transpose (the old
-    # halo-padded relayout cost ~22 ms/step at 1M, profile_r3h.py).
+    pallas_ok = tile_engine_fused(d, k, impl)
     g = 128 // math.gcd(d * k, 128)
     r_chunk = g * d * k
-    pallas_ok = (
-        impl in ("pallas", "pallas_interpret")
-        # one transpose from scatter output to sweep input needs g | d;
-        # r is the scatter's output block — keep it VMEM-sized
-        and d % g == 0
-        and r_chunk <= 4096
-        # the sweep kernel's slot GROUPS are 8-sublane blocks
-        and (k <= 8 or k % 8 == 0)
-        # one-hot dest ids ride in f32: integers are exact up to 2^24
-        # (pallas_scatter.SENTINEL contract) — larger grids would DROP
-        # rows silently, so they take the XLA path instead
-        and m <= (1 << 24)
-    )
+    if far_plane is not None and not pallas_ok:
+        raise ValueError(
+            "far_plane folding requires the Pallas fast path "
+            f"(tile_engine_fused({d}, {k}, {impl!r}) is False) — "
+            "evaluate the far field separately on this engine"
+        )
     if pallas_ok:
         # ("pallas_interpret" runs the same pipeline in interpret mode on
         # CPU so the suite can equivalence-test the TPU-only path
@@ -192,11 +217,22 @@ def tile_near_field(
         )
         acc_raw = tile_sweep_pallas_plane(
             tiles_plane, k=k, d=d, ws=ws, eps=eps, cutoff2=cutoff2,
+            far_plane=far_plane, lo=lo, cell=cell,
             interpret=_interp,
         )  # (d, 3, k, nc·c) raw lanes
+        if far_plane is not None:
+            # Slot-overflow fallback: rows beyond the k-slot cap lose
+            # their near contribution (audited) — give them the far
+            # expansion's A term at their cell center (δ=0) via one
+            # 3-column row gather instead of zero total force.
+            far_a = far_plane[:, 0:3, :].transpose(0, 2, 1).reshape(
+                d * d * d, 3
+            )
+        else:
+            far_a = None
         acc = _slot_pickup_raw(
             acc_raw, grid, ids_sorted, rank_sorted, d, k, n, G,
-            sorted_output=sorted_output,
+            sorted_output=sorted_output, overflow_rows=far_a,
         )
         return acc, overflow
 
@@ -296,12 +332,16 @@ def _xla_tile_build(
 
 
 def _slot_pickup_raw(acc_raw, grid, ids_sorted, rank_sorted, d, k, n, G,
-                     sorted_output: bool = False):
+                     sorted_output: bool = False, overflow_rows=None):
     """Per-particle pickup from the sweep kernel's RAW (d, 3, k, NC·C)
     output: one XLA relayout to row-major (cell·k + slot, 3) then a
     LINEAR row gather. (The 4-axis advanced-index gather straight off
     the raw layout measured ~2 ms SLOWER at 1M — r3j variant B vs D —
-    XLA's batched gather beats the multi-axis one here.)"""
+    XLA's batched gather beats the multi-axis one here.)
+
+    ``overflow_rows`` (d³, 3): per-cell values served to rows past the
+    k-slot cap instead of zero (the far-folded path passes the far A
+    grid; None keeps the zero contract)."""
     from nbody_tpu.ops.sorted_window import unsort_rows
 
     l = d * d
@@ -313,7 +353,13 @@ def _slot_pickup_raw(acc_raw, grid, ids_sorted, rank_sorted, d, k, n, G,
     )
     rank_read = jnp.minimum(rank_sorted, k - 1)
     acc_sorted = acc_t[ids_sorted * k + rank_read]  # (N, 3)
-    acc_sorted = jnp.where((rank_sorted < k)[:, None], acc_sorted, 0.0)
+    if overflow_rows is None:
+        fallback = 0.0
+    else:
+        fallback = overflow_rows[ids_sorted]
+    acc_sorted = jnp.where(
+        (rank_sorted < k)[:, None], acc_sorted, fallback
+    )
     if sorted_output:
         return G * acc_sorted
     return unsort_rows(G * acc_sorted, grid.order)

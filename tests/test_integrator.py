@@ -221,10 +221,10 @@ def test_sorted_multi_step_matches_plain():
             near_impl="xla",
         )
 
-    def sorted_force(pos, mass):
+    def sorted_force(pos, mass, extra=None):
         return barnes_hut_forces_sorted(
             pos, mass, 1.0, 0.1, 0.5, levels=levels, near_k=16,
-            multipole_order=2, near_impl="xla",
+            multipole_order=2, near_impl="xla", extra=extra,
         )
 
     state = initialize_forces(state, force)
