@@ -198,9 +198,13 @@ def _sorted_finest_moments(
         ends = cell_starts_at(
             ids_sorted, jnp.minimum((car + 1) * r_chunk, nc)
         )
+    # nonempty/nwin passed explicitly: the wrapper's fallback recomputes
+    # them from a 1M-row cummax envelope (ids_sorted is already monotone
+    # with no sentinels — ends > starts is the same predicate for free).
     span = ends - (starts // 128) * 128
     packed_cm = monotone_segment_sum(
         vals, ids_sorted, starts, num_dest=nc, r=r_chunk, w=w_win,
+        nonempty=ends > starts,
         nwin=-(-span // w_win), interpret=interpret,
     )
     # (measured: an eye-matmul "transpose" here regressed — XLA's own
@@ -435,7 +439,11 @@ def _conv_taps_kernel(dvec: jax.Array, eps: float):
     )  # (T, 19, 10)
 
 
-def _far_conv_level(pyr: Pyramid, lvl: int, ws: int, eps: float, levels: int):
+def _far_conv_level(
+    pyr: Pyramid, lvl: int, ws: int, eps: float, levels: int,
+    precision=jax.lax.Precision.HIGHEST,
+    impl: str = "xla",
+):
     """One level's accepted far-field contributions as (2ws+1)³ MXU matmuls.
 
     Because the local expansion is about CELL CENTERS, the source→target
@@ -497,6 +505,23 @@ def _far_conv_level(pyr: Pyramid, lvl: int, ws: int, eps: float, levels: int):
         ],
         axis=1,
     ).reshape(80, p, p, p)
+
+    if impl in ("pallas", "pallas_interpret") and p * p >= 128:
+        # VMEM-resident tap loop (ops/pallas_far_taps.py): the XLA scan
+        # re-reads the padded moment grid from HBM per tap (~284 MB and
+        # 7.4 ms/step at 1M/L6 for ~0.3 ms of MXU math). bf16 taps: the
+        # tap sum is already an O(θ²)-truncated multipole approximation
+        # at well-separated cells — per-tap 2⁻⁸ rounding is far below
+        # the method error (accuracy gate: scripts/profile_r3q.py).
+        from nbody_tpu.ops.pallas_far_taps import far_taps_pallas
+
+        out = far_taps_pallas(
+            mom, tap_mat, p=p, ws=ws,
+            interpret=impl == "pallas_interpret",
+        )
+        out = out.reshape(8, 19, pc)
+        return out[:, 0:3], out[:, 3:9], out[:, 9:19]
+
     mom_pad = jnp.pad(mom, [(0, 0), (ws, ws), (ws, ws), (ws, ws)])
     po_arr = jnp.asarray(po_np + ws)  # slice starts into the padded grid
 
@@ -510,7 +535,7 @@ def _far_conv_level(pyr: Pyramid, lvl: int, ws: int, eps: float, levels: int):
             mat,
             src,
             (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
             preferred_element_type=dtype,
         )
         return acc + out, None
@@ -522,7 +547,9 @@ def _far_conv_level(pyr: Pyramid, lvl: int, ws: int, eps: float, levels: int):
 
 
 def far_field_grid(
-    pyr: Pyramid, ws: int, G: float, eps: float, levels: int
+    pyr: Pyramid, ws: int, G: float, eps: float, levels: int,
+    precision=jax.lax.Precision.HIGHEST,
+    impl: str = "xla",
 ):
     """Far field as a LOCAL EXPANSION per finest cell.
 
@@ -568,7 +595,7 @@ def far_field_grid(
 
         if use_quad:
             acc_pm, jac_pm, hes_pm = _far_conv_level(
-                pyr, lvl, ws, eps, levels
+                pyr, lvl, ws, eps, levels, precision=precision, impl=impl
             )
         else:
             hes_pm = None
@@ -945,41 +972,57 @@ def _barnes_hut_forces(
         # (MXU segment sum, exact at any density via in-kernel window
         # loops) and the tile near field.
         from nbody_tpu.ops.sorted_window import build_sorted_grid
-        from nbody_tpu.ops.tile_sweep import tile_near_field
 
         d = 1 << levels
         lo, cell = pyramid_geometry(
             jnp.min(pos, axis=0), jnp.max(pos, axis=0), levels
         )
         coords = jnp.clip(((pos - lo) / cell).astype(jnp.int32), 0, d - 1)
-        # Full d³ segment index up to the measured crossover (grid build
-        # 9.8 ms full vs 14.8 ms light at 1M/d=64 — the 1M-row cummax in
-        # sorted_ranks costs more than the scatter-min it avoids); light
-        # build only for large grids where the d³ work dominates.
-        from nbody_tpu.ops.sorted_window import use_full_cell_start
-
+        # LIGHT grid build: the tiles engine never indexes per-cell
+        # segments — ranks come from one sorted-ids cummax and chunk
+        # starts from a few thousand searchsorted queries. The full d³
+        # index measured 8.8 ms (1M-row scatter-min) plus a 6.4 ms
+        # rank gather at 1M/d=64 (scripts/profile_r3p.py p1/p3 vs p6) —
+        # an earlier harness mis-attributed this to the sort itself.
         grid = build_sorted_grid(
             pos, mass, coords, d,
-            with_cell_start=use_full_cell_start(d * d * d),
+            with_cell_start=False,
             extra=extra,
         )
         ids_sorted = grid.ids
-        packed = _sorted_finest_moments(
-            grid, ids_sorted, lo, cell, d, multipole_order,
-            interpret=near_impl == "pallas_interpret",
+        from nbody_tpu.ops.tile_sweep import (
+            tile_build_pallas,
+            tile_engine_fused,
+            tile_sweep_pick,
         )
-        pyr = pyramid_from_packed(packed, lo, cell, levels, multipole_order)
-        from nbody_tpu.ops.tile_sweep import tile_engine_fused
 
-        if tile_engine_fused(d, near_k, near_impl):
-            # Far field rides the near sweep: grids computed UNSCALED
+        if tile_engine_fused(d, near_k, near_impl) and multipole_order >= 2:
+            # Fully fused TPU pipeline: ONE MXU scatter kernel builds the
+            # slot tiles AND the finest-level multipole moments (+ exact
+            # per-cell counts for the overflow audit) from the same
+            # source windows — the separate segment-sum moments pass
+            # cost ~10 ms/step at 1M (scripts/profile_r3o.py f1). The
+            # far field rides the near sweep: grids computed UNSCALED
             # (G folds in at pickup), laid out plane-major, and each
             # slot seeds its accumulator with the local expansion at
             # its own position inside the Pallas kernel — no separate
             # 19-channel per-particle gather + tensor math stage
             # (17.6 ms at 1M, scripts/profile_r3m.py).
+            tb = tile_build_pallas(
+                grid, lo, cell, d=d, k=near_k, impl=near_impl,
+                with_moments=True,
+            )
+            packed = tb.moments[:10].T.reshape(d, d, d, 10)
+            pyr = pyramid_from_packed(packed, lo, cell, levels, 2)
+            # Far taps stay on the XLA scan in production: the Pallas
+            # far-taps kernel (ops/pallas_far_taps.py) is interpret-
+            # verified but not yet hardware-validated end to end — flip
+            # impl=near_impl here once scripts/profile_r3r.py shows it
+            # winning on TPU (XLA taps are 7.4 ms of the 1M step).
             a_far, j_far, h_far = far_field_grid(
-                pyr, ws, 1.0, softening, levels
+                pyr, ws, 1.0, softening, levels,
+                impl="pallas_interpret"
+                if near_impl == "pallas_interpret" else "xla",
             )
             parts = [a_far, j_far] + (
                 [h_far] if h_far is not None else []
@@ -988,9 +1031,9 @@ def _barnes_hut_forces(
             far_plane = packed_g.reshape(
                 d, d * d, packed_g.shape[-1]
             ).transpose(0, 2, 1)  # (d, C, d²)
-            acc, _over = tile_near_field(
-                pos, mass, coords, lo, cell,
-                d=d, ws=ws, k=near_k, G=G, eps=softening, grid=grid,
+            acc = tile_sweep_pick(
+                tb, grid, lo, cell,
+                d=d, ws=ws, k=near_k, G=G, eps=softening,
                 impl=near_impl, sorted_output=sorted_output,
                 far_plane=far_plane,
             )
@@ -1000,6 +1043,13 @@ def _barnes_hut_forces(
                 return acc, grid.psort, grid.order
             return acc
 
+        from nbody_tpu.ops.tile_sweep import tile_near_field
+
+        packed = _sorted_finest_moments(
+            grid, ids_sorted, lo, cell, d, multipole_order,
+            interpret=near_impl == "pallas_interpret",
+        )
+        pyr = pyramid_from_packed(packed, lo, cell, levels, multipole_order)
         a_far, j_far, h_far = far_field_grid(pyr, ws, G, softening, levels)
         a_near, _over = tile_near_field(
             pos, mass, coords, lo, cell,

@@ -97,21 +97,41 @@ def _placement_dot(win_v, onehot, split3: bool):
     )
 
 
+def _decode_cell(cell, d: int):
+    """Linear cell id → (cx, cy, cz) int vectors (row-major, z fastest)."""
+    if d & (d - 1) == 0:
+        dbits = d.bit_length() - 1
+        cz = cell & (d - 1)
+        cy = (cell >> dbits) & (d - 1)
+        cx = cell >> (2 * dbits)
+    else:
+        cz = cell % d
+        cyx = cell // d
+        cy = cyx % d
+        cx = cyx // d
+    return cx, cy, cz
+
+
 def _kernel(
     starts_ref,   # (n_chunks,) i32 scalar-prefetch: window starts // 128
     nonempty_ref,  # (n_chunks,) i32 scalar-prefetch: chunk has sources
     nwin_ref,     # (n_chunks,) i32 scalar-prefetch: windows covering span
     geom_ref,     # (1, 128) f32 VMEM: [lo_x, lo_y, lo_z, cell, ...]
-    src_hbm,      # (8, cols_pad) f32 ANY: channels x,y,z,m,dest,1,0,0
-    out_ref,      # (8, R) f32 VMEM block
-    *,
+    src_hbm,      # (8, cols_pad) f32 ANY: channels x,y,z,m,dest,1,cid,0
+    *out_refs,    # (8, R) f32 VMEM block [+ (16, QP) moments block]
     r: int,
     w: int,
     k: int,
     d: int,
     q: int,
+    qp: int,
     split3: bool,
+    with_moments: bool,
 ):
+    if with_moments:
+        out_ref, mom_ref = out_refs
+    else:
+        (out_ref,) = out_refs
     c = pl.program_id(0)
 
     # Filler: cell centers, mass 0. With q == 0 (legacy layout) output
@@ -129,16 +149,7 @@ def _kernel(
         cell = c * q + col_lanes % q
     else:
         cell = (c * r + col_lanes) // k
-    if d & (d - 1) == 0:
-        dbits = d.bit_length() - 1
-        cz = cell & (d - 1)
-        cy = (cell >> dbits) & (d - 1)
-        cx = cell >> (2 * dbits)
-    else:
-        cz = cell % d
-        cyx = cell // d
-        cy = cyx % d
-        cx = cyx // d
+    cx, cy, cz = _decode_cell(cell, d)
     lo_x = geom_ref[0, 0]
     lo_y = geom_ref[0, 1]
     lo_z = geom_ref[0, 2]
@@ -157,12 +168,48 @@ def _kernel(
             dest_sub = iota_sub + c * r
         dest_rows_f = dest_sub.astype(jnp.float32)               # (R, 1)
 
+        def window_moments(win_v):
+            """(11, q) per-cell moments of this window's rows for the
+            chunk's q cells: [m, m·xr(3), m·xr⊗xr(6), count], xr the
+            CENTER-RELATIVE position (the pyramid_from_packed order-2
+            layout, plus a trailing count channel). The cell one-hot
+            keys on channel 6 (cell id, < 2²⁴ exact in f32), so slot
+            OVERFLOW rows still contribute — the moments are exact at
+            any density, like the old monotone_segment_sum path."""
+            cid_f = win_v[6:7]                                   # (1, W)
+            cell_sub = c * q + jax.lax.broadcasted_iota(
+                jnp.int32, (q, 1), 0
+            )
+            oh_cell = (
+                cell_sub.astype(jnp.float32) == cid_f
+            ).astype(jnp.float32)                                # (q, W)
+            scx, scy, scz = _decode_cell(cid_f.astype(jnp.int32), d)
+            sfx = lo_x + (scx.astype(jnp.float32) + 0.5) * cw
+            sfy = lo_y + (scy.astype(jnp.float32) + 0.5) * cw
+            sfz = lo_z + (scz.astype(jnp.float32) + 0.5) * cw
+            mm = win_v[3:4]
+            xr = win_v[0:1] - sfx
+            yr = win_v[1:2] - sfy
+            zr = win_v[2:3] - sfz
+            vals = jnp.concatenate(
+                [
+                    mm, mm * xr, mm * yr, mm * zr,
+                    mm * (xr * xr), mm * (yr * yr), mm * (zr * zr),
+                    mm * (xr * yr), mm * (xr * zr), mm * (yr * zr),
+                    jnp.ones_like(mm),
+                ],
+                axis=0,
+            )                                                    # (11, W)
+            return _placement_dot(vals, oh_cell, split3)         # (11, q)
+
         @pl.when(nonempty_ref[c] == 0)
         def _empty():
             out_ref[0:1] = fx
             out_ref[1:2] = fy
             out_ref[2:3] = fz
             out_ref[3:8] = jnp.zeros((5, r), jnp.float32)
+            if with_moments:
+                mom_ref[...] = jnp.zeros((16, qp), jnp.float32)
 
         @pl.when(nonempty_ref[c] != 0)
         def _full():
@@ -177,6 +224,9 @@ def _kernel(
             keys = win_v[4:5]                                    # (1, W)
             onehot = (dest_rows_f == keys).astype(jnp.float32)   # (R, W)
             out_ref[...] = _placement_dot(win_v, onehot, split3)
+            if with_moments:
+                mom_ref[...] = jnp.zeros((16, qp), jnp.float32)
+                mom_ref[0:11, 0:q] = window_moments(win_v)
 
             # Overflow windows: a chunk whose source span exceeds W loops
             # further windows [start + j·W, start + (j+1)·W) through the
@@ -201,6 +251,10 @@ def _kernel(
                 out_ref[...] = out_ref[...] + _placement_dot(
                     wv, oh, split3
                 )
+                if with_moments:
+                    mom_ref[0:11, 0:q] = (
+                        mom_ref[0:11, 0:q] + window_moments(wv)
+                    )
                 return carry
 
             jax.lax.fori_loop(1, nwin_ref[c], _more, 0)
@@ -377,7 +431,10 @@ def monotone_segment_sum(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "d", "r", "w", "q", "split3", "interpret")
+    jax.jit,
+    static_argnames=(
+        "k", "d", "r", "w", "q", "split3", "interpret", "with_moments"
+    ),
 )
 def monotone_scatter_tiles(
     psort: jax.Array,       # (N, 4) cell-sorted rows x,y,z,m
@@ -395,7 +452,9 @@ def monotone_scatter_tiles(
     nwin: jax.Array | None = None,      # (n_chunks,) i32 windows per chunk
     split3: bool = True,
     interpret: bool = False,
-) -> jax.Array:
+    with_moments: bool = False,
+    cell_ids: jax.Array | None = None,  # (N,) i32 sorted cell ids (moments)
+):
     """→ (4, d³·k) channel-major dense slot rows, cell centers with mass 0
     in unmatched columns.
 
@@ -412,9 +471,21 @@ def monotone_scatter_tiles(
     windows as the chunk's span needs (count ``nwin``, derived from
     ``dest`` when None) — the build is EXACT for any density, and w is
     purely a performance tune (MXU compare passes scale with it).
+
+    ``with_moments=True`` (requires ``q > 0`` and ``cell_ids``, the
+    non-decreasing linear cell id per sorted row) additionally returns
+    ``(11, d³)`` per-cell moment sums [m, m·xr(3), m·xr⊗xr(6), count]
+    about cell centers — the Barnes-Hut finest-level multipoles plus an
+    exact occupancy count, accumulated on the MXU from the SAME source
+    windows the placement pass already DMAs (the separate
+    monotone_segment_sum moments pass cost ~10 ms/step at 1M). Keyed on
+    the cell id, not the slot dest, so k-overflow rows still contribute:
+    moments are exact at any density. Returns (tiles, moments) then.
     """
     if q != 0 and q * k != r:
         raise ValueError(f"slot-major layout needs q*k == r, got {(q, k, r)}")
+    if with_moments and (q == 0 or cell_ids is None):
+        raise ValueError("with_moments requires q > 0 and cell_ids")
     if w % 128 != 0:
         raise ValueError(f"window must be 128-aligned, got w={w}")
     n = psort.shape[0]
@@ -453,6 +524,10 @@ def monotone_scatter_tiles(
     )
     # Build channel-major by STACKING rows — a concat(...).T would cost
     # an XLA transpose pass over the whole array (~1.7 GB/s measured).
+    if with_moments:
+        cid_row = cell_ids.astype(jnp.float32)
+    else:
+        cid_row = jnp.zeros((n,), jnp.float32)
     src = jnp.stack(
         [
             psort[:, 0],
@@ -461,15 +536,19 @@ def monotone_scatter_tiles(
             psort[:, 3],
             dest_f,
             jnp.ones((n,), jnp.float32),
-            jnp.zeros((n,), jnp.float32),
+            cid_row,
             jnp.zeros((n,), jnp.float32),
         ],
         axis=0,
     )  # (8, N)
     # padded tail: dest stays 0-filled — but dest 0 is real; overwrite
-    # the dest channel's pad with the sentinel.
+    # the dest channel's pad with the sentinel, and likewise the cell-id
+    # channel (a 0-filled pad row would otherwise COUNT into cell 0's
+    # moments — mass 0 protects the mass channels but not the count).
     src = jnp.pad(src, ((0, 0), (0, cols_pad - n)))
     src = src.at[4, n:].set(SENTINEL)
+    if with_moments:
+        src = src.at[6, n:].set(SENTINEL)
 
     geom = jnp.zeros((1, 128), jnp.float32)
     geom = geom.at[0, :3].set(lo.astype(jnp.float32))
@@ -477,6 +556,18 @@ def monotone_scatter_tiles(
 
     starts128 = jnp.clip(src_starts // 128, 0, (cols_pad - 2 * w) // 128)
 
+    qp = -(-q // 128) * 128 if with_moments else 0
+    out_specs = pl.BlockSpec((8, r), lambda i, *_: (0, i))
+    out_shape = jax.ShapeDtypeStruct((8, m), jnp.float32)
+    if with_moments:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((16, qp), lambda i, *_: (0, i)),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((16, n_chunks * qp), jnp.float32),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_chunks,),
@@ -484,12 +575,15 @@ def monotone_scatter_tiles(
             pl.BlockSpec((1, 128), lambda i, *_: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((8, r), lambda i, *_: (0, i)),
+        out_specs=out_specs,
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, r=r, w=w, k=k, d=d, q=q, split3=split3),
+        functools.partial(
+            _kernel, r=r, w=w, k=k, d=d, q=q, qp=qp, split3=split3,
+            with_moments=with_moments,
+        ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((8, m), jnp.float32),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -501,4 +595,12 @@ def monotone_scatter_tiles(
         ),
         interpret=interpret,
     )(starts128, nonempty, nwin, geom, src)
+    if with_moments:
+        tiles, mom = out
+        # n_chunks · q == d³ exactly (q = r/k whole cells per chunk).
+        mom = (
+            mom.reshape(16, n_chunks, qp)[:11, :, :q]
+            .reshape(11, n_chunks * q)
+        )
+        return tiles[:4], mom
     return out[:4]

@@ -46,13 +46,39 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _rowmajor_perm3(k: int):
+    """(3·3k, 8k) bf16 permutation for the in-kernel layout flip: maps
+    accumulator row ch·k + slot → output column slot·8 + ch, stacked ×3
+    vertically so a 3-way bf16-split lhs reassembles the f32 value in ONE
+    MXU pass (see pallas_scatter._split3_dot — each output element sums
+    exactly the 3 split terms of its single source row, so the flip is
+    BIT-EXACT). Built from iotas (Pallas kernels cannot capture array
+    constants).
+
+    The 8-lane slot stride (not 3) makes the flat output a width-8
+    row-major array — the pickup gathers (cell·k + slot) rows of width 8
+    and keeps columns 0..2, with NO strided slice of the full array
+    first (a (…, 128)[:, :, :3k] slice-copy measured ~26 ms at 1M —
+    XLA's narrow strided copies run at ~2 GB/s)."""
+    r_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (9 * k, 8 * k), 0
+    ) % (3 * k)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (9 * k, 8 * k), 1)
+    ch = r_iota // k
+    s = r_iota % k
+    return (col_iota == s * 8 + ch).astype(jnp.bfloat16)
+
+
 def _near_kernel(*refs, k, ws, d, c, m, eps, zero_guard,
-                 cutoff2, with_far):
+                 cutoff2, with_far, row_major):
     """One (x-plane, lane-chunk) program.
 
     tiles_hbm: (D+2ws, 4, K, Lp) ANY — x-padded planes, lanes = flattened
                RAW (y, z) with an M-lane zero margin at both ends
-    acc_ref:   (1, 3, K, C) VMEM — this chunk's per-slot accelerations
+    acc_ref:   (1, 3, K, C) VMEM — this chunk's per-slot accelerations;
+               with ``row_major`` instead (1, C, 128): lanes = slot·8+ch
+               (8k used), rows = cells — the pickup gathers width-8 rows
+               straight off the flat view, no XLA transpose/slice
 
     With ``with_far`` two more refs lead: geom (1, 128) VMEM
     [lo_x, lo_y, lo_z, cell] and far (1, 19, C) VMEM — the far-field
@@ -120,7 +146,7 @@ def _near_kernel(*refs, k, ws, d, c, m, eps, zero_guard,
                         az = az + w * dz
         return ax, ay, az
 
-    def inner(slab, tailx, taily, tailz, sem):
+    def inner(slab, tailx, taily, tailz, acc48, sem):
         cp = pltpu.make_async_copy(
             tiles_hbm.at[pl.ds(i, w1), :, :, pl.ds(j * c, c + 2 * m)],
             slab,
@@ -196,7 +222,10 @@ def _near_kernel(*refs, k, ws, d, c, m, eps, zero_guard,
 
         @pl.when(t_any == 0.0)
         def _empty_chunk():
-            acc_ref[0] = jnp.zeros((3, k, c), jnp.float32)
+            if row_major:
+                acc_ref[0] = jnp.zeros((c, 128), jnp.float32)
+            else:
+                acc_ref[0] = jnp.zeros((3, k, c), jnp.float32)
 
         @pl.when(t_any != 0.0)
         def _live_chunk():
@@ -222,8 +251,13 @@ def _near_kernel(*refs, k, ws, d, c, m, eps, zero_guard,
 
                 @pl.when(tg_any == 0.0)
                 def _dead_targets(r0=r0, gt=gt):
-                    acc_ref[0, :, r0:r0 + gt] = jnp.zeros(
-                        (3, gt, c), jnp.float32)
+                    if row_major:
+                        z = jnp.zeros((gt, c), jnp.float32)
+                        for ch in range(3):
+                            acc48[ch * k + r0:ch * k + r0 + gt] = z
+                    else:
+                        acc_ref[0, :, r0:r0 + gt] = jnp.zeros(
+                            (3, gt, c), jnp.float32)
 
                 @pl.when(tg_any != 0.0)
                 def _live_targets(tg=tg, r0=r0, gt=gt,
@@ -271,17 +305,45 @@ def _near_kernel(*refs, k, ws, d, c, m, eps, zero_guard,
                             ay = ay + taily[0:gt]
                             az = az + tailz[0:gt]
 
-                    acc_ref[0, 0, r0:r0 + gt] = ax
-                    acc_ref[0, 1, r0:r0 + gt] = ay
-                    acc_ref[0, 2, r0:r0 + gt] = az
+                    if row_major:
+                        acc48[0 * k + r0:0 * k + r0 + gt] = ax
+                        acc48[1 * k + r0:1 * k + r0 + gt] = ay
+                        acc48[2 * k + r0:2 * k + r0 + gt] = az
+                    else:
+                        acc_ref[0, 0, r0:r0 + gt] = ax
+                        acc_ref[0, 1, r0:r0 + gt] = ay
+                        acc_ref[0, 2, r0:r0 + gt] = az
+
+            if row_major:
+                # Layout flip to pickup-friendly rows on the MXU: one
+                # lhsT-form dot with the stacked split3 permutation is
+                # BIT-EXACT (one source row per output element) — the
+                # XLA transpose it replaces cost ~3.5 ms/step at 1M.
+                x = acc48[...]                                    # (3k, C)
+                w0 = x.astype(jnp.bfloat16)
+                r1_ = x - w0.astype(jnp.float32)
+                w1 = r1_.astype(jnp.bfloat16)
+                w2 = (r1_ - w1.astype(jnp.float32)).astype(jnp.bfloat16)
+                lhs3 = jnp.concatenate([w0, w1, w2], axis=0)      # (9k, C)
+                res = jax.lax.dot_general(
+                    lhs3, _rowmajor_perm3(k),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                                 # (C, 8k)
+                acc_ref[0, :, 0:8 * k] = res
+                if 8 * k < 128:
+                    acc_ref[0, :, 8 * k:128] = jnp.zeros(
+                        (c, 128 - 8 * k), jnp.float32)
 
     scratch_rows = kg if ng > 1 else 1  # unused at ng == 1; keep tiny
+    acc48_rows = 3 * k if row_major else 1  # unused otherwise; keep tiny
     pl.run_scoped(
         inner,
         slab=pltpu.VMEM((w1, 4, k, c + 2 * m), jnp.float32),
         tailx=pltpu.VMEM((scratch_rows, c), jnp.float32),
         taily=pltpu.VMEM((scratch_rows, c), jnp.float32),
         tailz=pltpu.VMEM((scratch_rows, c), jnp.float32),
+        acc48=pltpu.VMEM((acc48_rows, c), jnp.float32),
         sem=pltpu.SemaphoreType.DMA(()),
     )
 
@@ -290,6 +352,7 @@ def _near_kernel(*refs, k, ws, d, c, m, eps, zero_guard,
     jax.jit,
     static_argnames=(
         "k", "d", "ws", "eps", "chunk", "cutoff2", "interpret",
+        "row_major",
     ),
 )
 def tile_sweep_pallas_plane(
@@ -305,10 +368,19 @@ def tile_sweep_pallas_plane(
     lo: jax.Array | None = None,
     cell: jax.Array | None = None,
     interpret: bool = False,
+    row_major: bool = False,
 ) -> jax.Array:
     """(D, 4, K, D²) plane-major slot tensor → (D, 3, K, NC·C) raw
     per-slot accelerations (lane y·D + z for cell (y, z); lanes ≥ D² are
     chunk padding). Returns un-scaled accelerations (multiply by G).
+
+    ``row_major=True`` (requires 8·k ≤ 128) returns (D, NC·C, 128)
+    instead: rows = cells, lanes = slot·8 + ch (channels 3..7 of each
+    slot zero) — the flat view is a width-8 row-major array whose
+    (cell·(128/8) + slot) rows feed the pickup gather directly,
+    replacing a ~3.5 ms/1M XLA transpose (and a ~26 ms narrow strided
+    slice a 3-lane stride would need) with one exact in-kernel
+    permutation matmul per program.
 
     ``far_plane`` (D, n_far, D²) — per-cell far-field local expansion
     [A3 | J6 (| H10)] in the SAME plane-major lane layout (requires
@@ -333,13 +405,15 @@ def tile_sweep_pallas_plane(
         [(ws, ws), (0, 0), (0, 0), (m, m + nc * c - l)],
     )  # (D+2ws, 4, K, Lp)
 
+    if row_major and 8 * k > 128:
+        raise ValueError(f"row_major output needs 8·k ≤ 128, got k={k}")
     with_far = far_plane is not None
     zero_guard = eps == 0.0
     kernel = functools.partial(
         _near_kernel, k=k, ws=ws, d=d, c=c, m=m, eps=float(eps),
         zero_guard=zero_guard,
         cutoff2=None if cutoff2 is None else float(cutoff2),
-        with_far=with_far,
+        with_far=with_far, row_major=row_major,
     )
     if with_far:
         n_far = far_plane.shape[1]
@@ -360,15 +434,24 @@ def tile_sweep_pallas_plane(
         in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
         operands = (t,)
         far_bytes = 0
+    if row_major:
+        out_specs = pl.BlockSpec(
+            (1, c, 128), lambda i, j: (i, j, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((d, nc * c, 128), jnp.float32)
+    else:
+        out_specs = pl.BlockSpec(
+            (1, 3, k, c), lambda i, j: (i, 0, 0, j),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((d, 3, k, nc * c), jnp.float32)
     out = pl.pallas_call(
         kernel,
         grid=(d, nc),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, 3, k, c), lambda i, j: (i, 0, 0, j),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((d, 3, k, nc * c), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,

@@ -147,18 +147,19 @@ def build_sorted_grid(
     )
 
 
-# Grid-size crossover for the full cell_start build (measured r3, 1M
-# rows on v5e): at d=64 (262K cells) the full scatter-min+cummin build
-# is FASTER than the light path (grid build 9.8 vs 14.8 ms — the 1M-row
-# cummax in sorted_ranks costs more than the d³ index it avoids); at
-# d=128 (2.1M cells) the d³ work dominates (25.9 ms) and the light path
-# wins. Callers build the full index up to this cell count.
+# NOTE (r3p re-measurement): the full cell_start build costs ~8.8 ms at
+# 1M rows (the scatter-min dominates, not the d³ cummin) and indexing it
+# per row costs another ~6.4 ms — an earlier harness mis-attributed both
+# to the sort. The TILE engines therefore always build light and use
+# sorted_ranks (+~1.5 ms) / cell_starts_at; only the WINDOW engine,
+# which looks up per-cell starts, builds the full index (its default).
 FULL_CELL_START_MAX_CELLS = 1 << 19
 
 
 def use_full_cell_start(num_cells: int) -> bool:
-    """Measured crossover: build the d³ segment index for small grids,
-    use sorted_ranks/cell_starts_at beyond it (see constant above)."""
+    """Whether the full d³ segment index is affordable for callers that
+    genuinely index per cell (the window engine). The tile engines never
+    need it — see the note above."""
     return num_cells <= FULL_CELL_START_MAX_CELLS
 
 

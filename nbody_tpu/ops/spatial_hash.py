@@ -321,20 +321,18 @@ def _spatial_hash_tiles_sorted(
     pos, mass, G, softening, *, cutoff, cell_size, d, k, build_window, impl,
     extra=None,
 ):
-    from nbody_tpu.ops.sorted_window import (
-        build_sorted_grid,
-        use_full_cell_start,
-    )
+    from nbody_tpu.ops.sorted_window import build_sorted_grid
     from nbody_tpu.ops.tile_sweep import tile_near_field
 
     lo = jnp.min(pos, axis=0)
     coords = jnp.clip(
         jnp.floor((pos - lo) / cell_size).astype(jnp.int32), 0, d - 1
     )
+    # Light build: the tiles engine needs no per-cell segment index
+    # (scripts/profile_r3p.py — the full d³ index + rank gather cost
+    # ~15 ms at 1M vs ~2.5 ms for sorted_ranks + searchsorted starts).
     grid = build_sorted_grid(
-        pos, mass, coords, d,
-        with_cell_start=use_full_cell_start(d * d * d),
-        extra=extra,
+        pos, mass, coords, d, with_cell_start=False, extra=extra,
     )
     acc, _over = tile_near_field(
         pos, mass, coords, lo, jnp.asarray(cell_size, pos.dtype),

@@ -60,6 +60,186 @@ def tile_engine_fused(d: int, k: int, impl: str | None) -> bool:
     )
 
 
+@dataclasses.dataclass(frozen=True)
+class TileBuild:
+    """Output of ``tile_build_pallas`` — the dense slot tiles plus the
+    per-row bookkeeping the sweep/pickup phase needs. ``moments`` is the
+    (11, d³) fused finest-level multipole block [m, m·xr(3), m·xr⊗xr(6),
+    count] when requested, else None."""
+
+    tiles_plane: jax.Array   # (d, 4, k, d²) plane-major slot tensor
+    rank_sorted: jax.Array   # (N,) i32 rank within cell, sorted order
+    overflow: jax.Array      # () i32 rows beyond the k-slot cap
+    moments: jax.Array | None = None
+
+
+def tile_build_pallas(
+    grid,
+    lo: jax.Array,
+    cell: jax.Array,
+    *,
+    d: int,
+    k: int,
+    impl: str,
+    build_window: int | None = None,
+    with_moments: bool = False,
+) -> TileBuild:
+    """Build the plane-major slot tiles from a cell-sorted grid via the
+    MXU one-hot scatter — the build phase of the fused Pallas near-field
+    pipeline (callers must have checked ``tile_engine_fused``).
+
+    ``with_moments=True`` additionally returns the finest-level order-2
+    multipole moments + exact per-cell counts, accumulated by the SAME
+    kernel from the same source windows (pallas_scatter.py): the
+    Barnes-Hut pipeline gets its pyramid base for ~1 ms of extra MXU
+    work instead of a separate ~10 ms segment-sum pass, and the overflow
+    audit comes from the exact counts instead of a 1M-row reduction.
+    Split from the sweep phase because the far-field grid (computed FROM
+    the moments) seeds the sweep kernel's accumulators.
+    """
+    from nbody_tpu.ops.pallas_scatter import monotone_scatter_tiles
+    from nbody_tpu.ops.sorted_window import cell_starts_at
+
+    n = grid.psort.shape[0]
+    num_cells = d * d * d
+    ids_sorted = grid.ids
+    if grid.cell_start is not None:
+        rank_sorted = (
+            jnp.arange(n, dtype=jnp.int32) - grid.cell_start[ids_sorted]
+        )
+    else:
+        from nbody_tpu.ops.sorted_window import sorted_ranks
+
+        rank_sorted = sorted_ranks(ids_sorted)
+
+    _interp = impl == "pallas_interpret"
+    g = 128 // math.gcd(d * k, 128)
+    r_chunk = g * d * k
+    q_cells = r_chunk // k
+    if build_window is not None:
+        w_win = build_window
+    else:
+        # w=640 measured: kernel 22.6 -> 16.2 ms at 1M (one-hot compare
+        # count scales with w); covers the dense core in ONE window on
+        # the bench scenes; denser chunks loop further windows IN-KERNEL
+        # (exact at any density — w is purely a perf tune). Chunks wider
+        # than the tuned 64 cells scale the default proportionally.
+        w_win = 640 if q_cells <= 64 else -(-(q_cells * 10) // 128) * 128
+    dest = jnp.where(
+        rank_sorted < k, ids_sorted * k + rank_sorted, 1 << 24
+    )
+    m = num_cells * k
+    n_chunks = m // r_chunk
+    chunk_ar = jnp.arange(n_chunks, dtype=jnp.int32)
+    c0 = (chunk_ar * r_chunk) // k
+    c1 = jnp.minimum(
+        ((chunk_ar + 1) * r_chunk + k - 1) // k, num_cells
+    )
+    if grid.cell_start is not None:
+        starts = grid.cell_start[c0]
+        ends = grid.cell_start[c1]
+    else:
+        starts = cell_starts_at(ids_sorted, c0)
+        ends = cell_starts_at(ids_sorted, c1)
+    # The kernel aligns starts DOWN to 128 (DMA provability) and loops
+    # as many w-wide windows as the chunk's span needs — exact at any
+    # density, so `overflow` counts ONLY k-slot overflow. nonempty/nwin
+    # are passed explicitly: the wrapper's fallback recomputes them from
+    # a 1M-row cummax envelope (~3 ms/step at 1M, scripts/profile_r3p).
+    span = ends - (starts // 128) * 128
+    nwin = -(-span // w_win)
+    nonempty = ends > starts
+
+    out = monotone_scatter_tiles(
+        grid.psort, dest, starts, lo, cell,
+        k=k, d=d, r=r_chunk, w=w_win, q=q_cells,
+        nonempty=nonempty, nwin=nwin, interpret=_interp,
+        with_moments=with_moments,
+        cell_ids=ids_sorted if with_moments else None,
+    )
+    if with_moments:
+        tiles_cm, moments = out
+        counts = moments[10]
+        overflow = jnp.sum(
+            jnp.maximum(counts - float(k), 0.0)
+        ).astype(jnp.int32)
+    else:
+        tiles_cm = out
+        moments = None
+        overflow = jnp.sum((rank_sorted >= k).astype(jnp.int32))
+    # The ONE relayout pass of the near chain: slot-major chunk blocks
+    # (4, [x, y_blk], k, [y_in, z]) → plane-major (x, 4, k, y·z). Inner
+    # z runs (d elements) stay contiguous on both sides. (An MXU
+    # eye-einsum relayout measured SLOWER in r2; the old halo-padded
+    # layout needed two strided transposes plus two pad passes here.)
+    tiles_plane = (
+        tiles_cm.reshape(4, d, d // g, k, g, d)
+        .transpose(1, 0, 3, 2, 4, 5)
+        .reshape(d, 4, k, d * d)
+    )
+    return TileBuild(
+        tiles_plane=tiles_plane, rank_sorted=rank_sorted,
+        overflow=overflow, moments=moments,
+    )
+
+
+def tile_sweep_pick(
+    tb: TileBuild,
+    grid,
+    lo: jax.Array,
+    cell: jax.Array,
+    *,
+    d: int,
+    ws: int,
+    k: int,
+    G: float,
+    eps: float,
+    impl: str,
+    sorted_output: bool = False,
+    cutoff2: float | None = None,
+    far_plane: jax.Array | None = None,
+):
+    """Sweep + pickup phase of the fused Pallas near-field pipeline:
+    (2ws+1)³ VMEM slot sweep (pallas_tile_near.py), then the per-particle
+    pickup gather. See ``tile_near_field`` for the far_plane / cutoff2 /
+    sorted_output contracts."""
+    from nbody_tpu.ops.pallas_tile_near import tile_sweep_pallas_plane
+
+    n = grid.psort.shape[0]
+    # row-major sweep output is a measured DEAD END on hardware (r3):
+    # any pickup from the (d, nc·c, 128) layout needs a narrow reshape
+    # or slice of the full 134 MB array, which XLA lowers as a retiling
+    # copy (~26-32 ms at 1M — scripts/profile_r3q.py q6−q5) — worse
+    # than the raw path's one transpose + row gather (~7.3 ms,
+    # profile_r3o.py n5−n4). Kept as an option for narrower-lane
+    # hardware generations.
+    row_major = False
+    acc_raw = tile_sweep_pallas_plane(
+        tb.tiles_plane, k=k, d=d, ws=ws, eps=eps, cutoff2=cutoff2,
+        far_plane=far_plane, lo=lo, cell=cell,
+        interpret=impl == "pallas_interpret", row_major=row_major,
+    )  # row-major (d, nc·c, 128) | raw (d, 3, k, nc·c) lanes
+    if far_plane is not None:
+        # Slot-overflow fallback: rows beyond the k-slot cap lose their
+        # near contribution (audited) — give them the far expansion's A
+        # term at their cell center (δ=0) via one 3-column row gather
+        # instead of zero total force.
+        far_a = far_plane[:, 0:3, :].transpose(0, 2, 1).reshape(
+            d * d * d, 3
+        )
+    else:
+        far_a = None
+    if row_major:
+        return _slot_pickup_rowmajor(
+            acc_raw, grid, grid.ids, tb.rank_sorted, d, k, n, G,
+            sorted_output=sorted_output, overflow_rows=far_a,
+        )
+    return _slot_pickup_raw(
+        acc_raw, grid, grid.ids, tb.rank_sorted, d, k, n, G,
+        sorted_output=sorted_output, overflow_rows=far_a,
+    )
+
+
 def tile_near_field(
     pos: jax.Array,
     mass: jax.Array,
@@ -112,35 +292,18 @@ def tile_near_field(
 
         impl = resolve_impl("NBODY_PALLAS_NEAR")
     n = pos.shape[0]
-    from nbody_tpu.ops.sorted_window import (
-        cell_starts_at,
-        sorted_ranks,
-        use_full_cell_start,
-    )
+    from nbody_tpu.ops.sorted_window import sorted_ranks
 
     num_cells = d * d * d
     if grid is None:
-        grid = build_sorted_grid(
-            pos, mass, coords, d,
-            with_cell_start=use_full_cell_start(num_cells),
-        )
+        # LIGHT build: the tile engines never index per-cell segments —
+        # ranks come from sorted_ranks and chunk starts from a few
+        # thousand searchsorted queries; the full d³ index costs ~8.8 ms
+        # (1M-row scatter-min) plus a 6.4 ms rank gather at 1M
+        # (scripts/profile_r3p.py p1/p3 vs p6).
+        grid = build_sorted_grid(pos, mass, coords, d, with_cell_start=False)
 
-    ids_sorted = grid.ids
-    # rank within cell, in sorted order — via the d³ segment index when
-    # the grid carries one (faster at d ≤ 64, see use_full_cell_start),
-    # else O(N) from the sorted ids alone (large grids)
-    if grid.cell_start is not None:
-        rank_sorted = (
-            jnp.arange(n, dtype=jnp.int32) - grid.cell_start[ids_sorted]
-        )
-    else:
-        rank_sorted = sorted_ranks(ids_sorted)
-    overflow = jnp.sum((rank_sorted >= k).astype(jnp.int32))
-
-    m = num_cells * k
     pallas_ok = tile_engine_fused(d, k, impl)
-    g = 128 // math.gcd(d * k, 128)
-    r_chunk = g * d * k
     if far_plane is not None and not pallas_ok:
         raise ValueError(
             "far_plane folding requires the Pallas fast path "
@@ -159,82 +322,28 @@ def tile_near_field(
         #          — 24.9 ms at 1M/L6/k16 vs 210 ms for the fused-XLA
         #          sweep below (which streams every (K, cells)
         #          intermediate through HBM).
-        from nbody_tpu.ops.pallas_scatter import monotone_scatter_tiles
-        from nbody_tpu.ops.pallas_tile_near import tile_sweep_pallas_plane
+        tb = tile_build_pallas(
+            grid, lo, cell, d=d, k=k, impl=impl,
+            build_window=build_window,
+        )
+        acc = tile_sweep_pick(
+            tb, grid, lo, cell, d=d, ws=ws, k=k, G=G, eps=eps,
+            impl=impl, sorted_output=sorted_output, cutoff2=cutoff2,
+            far_plane=far_plane,
+        )
+        return acc, tb.overflow
 
-        _interp = impl == "pallas_interpret"
-        # w=640 measured: kernel 22.6 -> 16.2 ms at 1M (one-hot compare
-        # count scales with w); covers the dense core (64 cells x occ
-        # 7.3 + 127 alignment = 594) in ONE window on the bench scenes.
-        # Denser chunks loop further windows IN-KERNEL (prefetched count)
-        # — the build is exact for any density, w is purely a perf tune
-        # (the old whole-array lax.cond fallback cost ~55 ms on EVERY
-        # step at 1M, scripts/profile_r3j.py). Sparse callers (hash
-        # tiles at occ ~1) pass a tighter build_window. Chunks wider
-        # than the tuned 64 cells scale the default proportionally.
-        q_cells = r_chunk // k
-        if build_window is not None:
-            w_win = build_window
-        else:
-            w_win = 640 if q_cells <= 64 else -(-(q_cells * 10) // 128) * 128
-        dest = jnp.where(
-            rank_sorted < k, ids_sorted * k + rank_sorted, 1 << 24
+    ids_sorted = grid.ids
+    # rank within cell, in sorted order — via the d³ segment index when
+    # the grid carries one (faster at d ≤ 64, see use_full_cell_start),
+    # else O(N) from the sorted ids alone (large grids)
+    if grid.cell_start is not None:
+        rank_sorted = (
+            jnp.arange(n, dtype=jnp.int32) - grid.cell_start[ids_sorted]
         )
-        n_chunks = m // r_chunk
-        chunk_ar = jnp.arange(n_chunks, dtype=jnp.int32)
-        c0 = (chunk_ar * r_chunk) // k
-        c1 = jnp.minimum(
-            ((chunk_ar + 1) * r_chunk + k - 1) // k, num_cells
-        )
-        if grid.cell_start is not None:
-            starts = grid.cell_start[c0]
-            ends = grid.cell_start[c1]
-        else:
-            starts = cell_starts_at(ids_sorted, c0)
-            ends = cell_starts_at(ids_sorted, c1)
-        # The kernel aligns starts DOWN to 128 (DMA provability) and
-        # loops as many w-wide windows as the chunk's span needs — the
-        # build misses nothing at any density, so `overflow` counts ONLY
-        # k-slot overflow (the engine's one capacity contract).
-        span = ends - (starts // 128) * 128
-        nwin = -(-span // w_win)
-
-        tiles_cm = monotone_scatter_tiles(
-            grid.psort, dest, starts, lo, cell,
-            k=k, d=d, r=r_chunk, w=w_win, q=q_cells,
-            nwin=nwin, interpret=_interp,
-        )  # (4, m) slot-major chunk blocks
-        # The ONE relayout pass of the near chain: slot-major chunk
-        # blocks (4, [x, y_blk], k, [y_in, z]) → plane-major
-        # (x, 4, k, y·z). Inner z runs (d elements) stay contiguous on
-        # both sides. (An MXU eye-einsum relayout measured SLOWER in r2;
-        # the old halo-padded layout needed two strided transposes plus
-        # two pad passes here.)
-        tiles_plane = (
-            tiles_cm.reshape(4, d, d // g, k, g, d)
-            .transpose(1, 0, 3, 2, 4, 5)
-            .reshape(d, 4, k, d * d)
-        )
-        acc_raw = tile_sweep_pallas_plane(
-            tiles_plane, k=k, d=d, ws=ws, eps=eps, cutoff2=cutoff2,
-            far_plane=far_plane, lo=lo, cell=cell,
-            interpret=_interp,
-        )  # (d, 3, k, nc·c) raw lanes
-        if far_plane is not None:
-            # Slot-overflow fallback: rows beyond the k-slot cap lose
-            # their near contribution (audited) — give them the far
-            # expansion's A term at their cell center (δ=0) via one
-            # 3-column row gather instead of zero total force.
-            far_a = far_plane[:, 0:3, :].transpose(0, 2, 1).reshape(
-                d * d * d, 3
-            )
-        else:
-            far_a = None
-        acc = _slot_pickup_raw(
-            acc_raw, grid, ids_sorted, rank_sorted, d, k, n, G,
-            sorted_output=sorted_output, overflow_rows=far_a,
-        )
-        return acc, overflow
+    else:
+        rank_sorted = sorted_ranks(ids_sorted)
+    overflow = jnp.sum((rank_sorted >= k).astype(jnp.int32))
 
     tiles = _xla_tile_build(
         grid.psort, ids_sorted, rank_sorted, lo, cell, d=d, k=k,
@@ -329,6 +438,41 @@ def _xla_tile_build(
         init.at[flat].set(psort, unique_indices=True)
         .reshape(d, d, d, k + 1, 4)[:, :, :, :k, :]
     )
+
+
+def _slot_pickup_rowmajor(acc_rm, grid, ids_sorted, rank_sorted, d, k, n, G,
+                          sorted_output: bool = False, overflow_rows=None):
+    """Per-particle pickup from the sweep kernel's ROW-MAJOR
+    (d, nc·c, 128) output (lanes = slot·8 + ch, 8k used, the rest
+    zero): a pure RESHAPE to width-8 rows — 128/8 = 16 slot rows per
+    cell, NO slice of the full array (a 3-lane-stride layout would need
+    a ~26 ms/1M narrow strided copy) — then a LINEAR row gather and a
+    tiny fused 3-column slice of the gathered (N, 8). The in-kernel
+    permutation matmul already did the layout flip that the raw path
+    pays an XLA transpose for."""
+    from nbody_tpu.ops.sorted_window import unsort_rows
+
+    ncc = acc_rm.shape[1]
+    l = d * d
+    spr = 128 // 8  # slot rows per cell row (slots k..15 are zero)
+    acc_t = acc_rm.reshape(d * ncc * spr, 8)
+    if ncc == l:
+        row = ids_sorted
+    else:
+        # lane-chunk padding: cells per plane (l) < rows per plane (ncc)
+        row = (ids_sorted // l) * ncc + (ids_sorted % l)
+    rank_read = jnp.minimum(rank_sorted, k - 1)
+    acc_sorted = acc_t[row * spr + rank_read][:, :3]  # (N, 3)
+    if overflow_rows is None:
+        fallback = 0.0
+    else:
+        fallback = overflow_rows[ids_sorted]
+    acc_sorted = jnp.where(
+        (rank_sorted < k)[:, None], acc_sorted, fallback
+    )
+    if sorted_output:
+        return G * acc_sorted
+    return unsort_rows(G * acc_sorted, grid.order)
 
 
 def _slot_pickup_raw(acc_raw, grid, ids_sorted, rank_sorted, d, k, n, G,
