@@ -1014,15 +1014,12 @@ def _barnes_hut_forces(
             )
             packed = tb.moments[:10].T.reshape(d, d, d, 10)
             pyr = pyramid_from_packed(packed, lo, cell, levels, 2)
-            # Far taps stay on the XLA scan in production: the Pallas
-            # far-taps kernel (ops/pallas_far_taps.py) is interpret-
-            # verified but not yet hardware-validated end to end — flip
-            # impl=near_impl here once scripts/profile_r3r.py shows it
-            # winning on TPU (XLA taps are 7.4 ms of the 1M step).
+            # Far taps ride the Pallas VMEM kernel where the lane gate
+            # admits it (ops/pallas_far_taps.py): measured 3.93 vs
+            # 4.88 ms for the XLA scan at the finest 1M level, rel diff
+            # ≤ 7e-6 (scripts/profile_r3r.py r3/r4).
             a_far, j_far, h_far = far_field_grid(
-                pyr, ws, 1.0, softening, levels,
-                impl="pallas_interpret"
-                if near_impl == "pallas_interpret" else "xla",
+                pyr, ws, 1.0, softening, levels, impl=near_impl
             )
             parts = [a_far, j_far] + (
                 [h_far] if h_far is not None else []
