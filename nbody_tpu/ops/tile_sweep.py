@@ -495,15 +495,26 @@ def _slot_pickup_raw(acc_raw, grid, ids_sorted, rank_sorted, d, k, n, G,
         .transpose(0, 3, 4, 2, 1)     # (x, y, z, slot, ch)
         .reshape(d * d * d * k, 3)
     )
-    rank_read = jnp.minimum(rank_sorted, k - 1)
-    acc_sorted = acc_t[ids_sorted * k + rank_read]  # (N, 3)
     if overflow_rows is None:
-        fallback = 0.0
+        rank_read = jnp.minimum(rank_sorted, k - 1)
+        acc_sorted = acc_t[ids_sorted * k + rank_read]  # (N, 3)
+        acc_sorted = jnp.where(
+            (rank_sorted < k)[:, None], acc_sorted, 0.0
+        )
     else:
-        fallback = overflow_rows[ids_sorted]
-    acc_sorted = jnp.where(
-        (rank_sorted < k)[:, None], acc_sorted, fallback
-    )
+        # FUSED overflow fallback (measured r3s q4 vs q6: 45.7 → 31.6 ms
+        # force eval at 1M — the fallback's second 1M-row gather + where
+        # cost ~14 ms): append the d³ fallback rows to the pickup table
+        # and REDIRECT overflow rows into the same gather by index. One
+        # gather serves both populations; bit-identical to the
+        # gather+where form (r3s equivalence: max |diff| = 0).
+        table = jnp.concatenate([acc_t, overflow_rows], axis=0)
+        idx = jnp.where(
+            rank_sorted < k,
+            ids_sorted * k + rank_sorted,
+            d * d * d * k + ids_sorted,
+        )
+        acc_sorted = table[idx]
     if sorted_output:
         return G * acc_sorted
     return unsort_rows(G * acc_sorted, grid.order)
