@@ -84,9 +84,10 @@ def make_sorted_force_fn(
     cell-sorted row order (see ops/barnes_hut.barnes_hut_forces_sorted);
     paired with ops/integrator.make_sorted_multi_step it deletes the
     per-step unsort gather (~13 ms at 1M). The Barnes-Hut tiles/pallas
-    engine and the spatial-hash tiles engine implement the contract;
-    every other method returns None and callers use ``make_force_fn`` +
-    plain stepping.
+    engine and BOTH spatial-hash engines (tiles, window) implement the
+    contract; direct N² returns None (its row order never changes, so
+    sorted stepping would only add gathers) and callers use
+    ``make_force_fn`` + plain stepping.
     """
     if config.force_method == ForceMethod.BARNES_HUT:
         from nbody_tpu.ops.barnes_hut import make_barnes_hut_forces_sorted

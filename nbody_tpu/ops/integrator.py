@@ -137,18 +137,23 @@ def sorted_verlet_step(
 ) -> SortedState:
     """One Velocity Verlet step entirely in sorted space.
 
-    The half-kicked velocity and the original-row tag ride through the
-    force's INTERNAL sort gather as its ``extra`` payload (XLA row
-    gathers are width-insensitive: the engine already gathers its
-    pos/mass/id payload, so 4 more columns are free — a separate payload
-    gather measured ~3 ms at 1M). The int32 tag rides bit-exactly via a
-    bitcast — it is only gathered, never computed on. (f32 pipelines
-    only: an f64 payload dtype would value-convert the bitcast columns.)
+    The half-kicked velocity and the original-row tag are re-sorted by
+    the engine's returned permutation with ONE separate (N, 4) row
+    gather. Shipping them through the force's internal sort gather as
+    its ``extra`` payload looks free ("row gathers are
+    width-insensitive") but MEASURES +15.7 ms/step at 1M vs +3.5 ms for
+    this form (scripts/profile_r3t.py t1−t0 vs profile_r3u.py): the
+    wider payload drags every downstream narrow slice of the engine's
+    (N, 9) concat through XLA retiling copies. The int32 tag rides
+    bit-exactly via a bitcast — it is only gathered, never computed on.
+    (f32 pipelines only: an f64 payload dtype would value-convert the
+    bitcast column.)
     """
     dt = jnp.asarray(dt, s.pos.dtype)
     pos_d = s.pos + s.vel * dt + (0.5 * dt * dt) * s.acc
     vel_h = s.vel + (0.5 * dt) * s.acc
-    extra = jnp.concatenate(
+    acc_s, psort, order = sorted_force_fn(pos_d, s.mass)[:3]
+    pay = jnp.concatenate(
         [
             vel_h,
             jax.lax.bitcast_convert_type(
@@ -156,10 +161,9 @@ def sorted_verlet_step(
             )[:, None],
         ],
         axis=-1,
-    )
-    acc_s, psort, order, extra_s = sorted_force_fn(pos_d, s.mass, extra)
-    vel_s = extra_s[:, :3] + (0.5 * dt) * acc_s
-    to_orig = jax.lax.bitcast_convert_type(extra_s[:, 3], jnp.int32)
+    )[order]
+    vel_s = pay[:, :3] + (0.5 * dt) * acc_s
+    to_orig = jax.lax.bitcast_convert_type(pay[:, 3], jnp.int32)
     return SortedState(
         pos=psort[:, :3], vel=vel_s, acc=acc_s, mass=psort[:, 3],
         to_orig=to_orig, time=s.time + dt,

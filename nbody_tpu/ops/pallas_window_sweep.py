@@ -52,6 +52,8 @@ def _kernel(
     starts_ref,  # (n_blocks·n_off,) i32 scalar-prefetch: starts // 128
                  # FLAT: 2-D prefetch operands are lane-padded to 128 in
                  # SMEM and blow its 1 MB limit at 1M particles
+    nch_ref,     # (n_blocks·n_off,) i32 scalar-prefetch: live 128-lane
+                 # chunks per window (ceil((needed_end − aligned)/128))
     tposT_ref,   # (3, B) f32 VMEM block
     tcrdT_ref,   # (3, B) f32 VMEM block (exact integer coords)
     src_hbm,     # (8, cols) f32 ANY
@@ -86,22 +88,38 @@ def _kernel(
         n_off = len(offsets)
         for o, (dxo, dyo) in enumerate(offsets):
             s128 = starts_ref[i * n_off + o]
-            cp = pltpu.make_async_copy(
-                src_hbm.at[:, pl.ds(s128 * 128, wbuf)], win, sem
-            )
-            cp.start()
-            cp.wait()
-            win_v = win[...]
-            # 128-lane chunks keep operands at 32 vregs (B=256).
-            for j in range(0, wbuf, 128):
-                sx = win_v[0:1, j:j + 128]      # (1, 128)
-                sy = win_v[1:2, j:j + 128]
-                sz = win_v[2:3, j:j + 128]
-                sm = win_v[3:4, j:j + 128]
+            # DYNAMIC SPAN (the structural win over the static form): the
+            # pair loop runs only the window's LIVE 128-lane chunks. Rows
+            # past needed_end can never match — cell ids are sorted, so
+            # every source with a matching shifted cell lies in
+            # [cell_start[base0], cell_start[base1]) (see _window_starts)
+            # — making the truncation bit-identical while the per-window
+            # cost tracks the block's ACTUAL neighbor span instead of the
+            # worst-case static window (the dense 1M scene needs
+            # window=2048 only in the core; the mean live span is ~⅓ of
+            # that, and edge/empty columns skip the DMA entirely).
+            nw = nch_ref[i * n_off + o]
+
+            @pl.when(nw > 0)
+            def _(o=o, s128=s128):
+                cp = pltpu.make_async_copy(
+                    src_hbm.at[:, pl.ds(s128 * 128, wbuf)], win, sem
+                )
+                cp.start()
+                cp.wait()
+
+            def chunk(j, carry, dxo=dxo, dyo=dyo):
+                cax, cay, caz = carry
+                # dynamic lane offset: j·128 is provably 128-divisible
+                win_v = win[:, pl.ds(j * 128, 128)]
+                sx = win_v[0:1, :]              # (1, 128)
+                sy = win_v[1:2, :]
+                sz = win_v[2:3, :]
+                sm = win_v[3:4, :]
                 match = (
-                    (win_v[4:5, j:j + 128] == tcx + float(dxo))
-                    & (win_v[5:6, j:j + 128] == tcy + float(dyo))
-                    & (jnp.abs(win_v[6:7, j:j + 128] - tcz) <= float(z_hw))
+                    (win_v[4:5, :] == tcx + float(dxo))
+                    & (win_v[5:6, :] == tcy + float(dyo))
+                    & (jnp.abs(win_v[6:7, :] - tcz) <= float(z_hw))
                 )  # (B, 128)
                 dxv = sx - tx
                 dyv = sy - ty
@@ -110,11 +128,17 @@ def _kernel(
                 inv = jax.lax.rsqrt(r2 + eps2)
                 wgt = sm * (inv * inv * inv)
                 if cut2 is not None:
-                    match = match & (r2 <= cut2)
-                wgt = jnp.where(match & (r2 > 0.0), wgt, 0.0)
-                ax = ax + jnp.sum(wgt * dxv, axis=1, keepdims=True)
-                ay = ay + jnp.sum(wgt * dyv, axis=1, keepdims=True)
-                az = az + jnp.sum(wgt * dzv, axis=1, keepdims=True)
+                    match2 = match & (r2 <= cut2)
+                else:
+                    match2 = match
+                wgt = jnp.where(match2 & (r2 > 0.0), wgt, 0.0)
+                return (
+                    cax + jnp.sum(wgt * dxv, axis=1, keepdims=True),
+                    cay + jnp.sum(wgt * dyv, axis=1, keepdims=True),
+                    caz + jnp.sum(wgt * dzv, axis=1, keepdims=True),
+                )
+
+            ax, ay, az = jax.lax.fori_loop(0, nw, chunk, (ax, ay, az))
         acc = jnp.concatenate([ax, ay, az], axis=1)  # (B, 3)
         # (B, 3) -> (3, B): contract acc's B with eye's dim 0
         out_ref[...] = jax.lax.dot_general(
@@ -139,6 +163,7 @@ def window_sweep_pallas(
     psort: jax.Array,       # (N, 4) sorted x,y,z,m
     csort: jax.Array,       # (N, 3) sorted int cell coords
     win_starts: jax.Array,  # (n_blocks, n_off) i32 window starts
+    win_chunks: jax.Array,  # (n_blocks, n_off) i32 live 128-lane chunks
     *,
     offsets: Tuple[Tuple[int, int], ...],
     block_size: int,
@@ -182,16 +207,17 @@ def window_sweep_pallas(
     starts128 = jnp.clip(
         win_starts // 128, 0, (cols - wbuf) // 128
     ).reshape(-1)
+    nchunks = jnp.clip(win_chunks, 0, wbuf // 128).reshape(-1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((3, b), lambda i, s: (0, i)),
-            pl.BlockSpec((3, b), lambda i, s: (0, i)),
+            pl.BlockSpec((3, b), lambda i, s, c: (0, i)),
+            pl.BlockSpec((3, b), lambda i, s, c: (0, i)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((3, b), lambda i, s: (0, i)),
+        out_specs=pl.BlockSpec((3, b), lambda i, s, c: (0, i)),
     )
     n_off = len(offsets)
     out = pl.pallas_call(
@@ -211,7 +237,7 @@ def window_sweep_pallas(
             transcendentals=n_blocks * n_off * b * wbuf,
         ),
         interpret=interpret,
-    )(starts128, tposT, tcrdT, src)
+    )(starts128, nchunks, tposT, tcrdT, src)
     return out.T
 
 

@@ -204,11 +204,15 @@ def window_sweep(
     eps: float | None = None,
     cutoff2: float | None = None,
     impl: str | None = None,
+    sorted_output: bool = False,
 ):
     """Σ_j w(r²_raw, m_j)·(x_j − x_i) over the neighbor windows.
 
     Returns (acc (N, 3) in ORIGINAL particle order — un-scaled by G,
-    overflow count). Two mutually exclusive kernel specs:
+    overflow count); ``sorted_output=True`` keeps acc in the grid's
+    CELL-SORTED row order instead (the sorted-state integrator contract —
+    skips the ~13 ms/1M unsort gather). Two mutually exclusive kernel
+    specs:
 
       * ``eps`` (+ optional ``cutoff2``) — the softened-gravity weight
         m_j·(r²+ε²)^{-3/2}, with the hash cutoff predicate on the RAW r²
@@ -242,17 +246,19 @@ def window_sweep(
     if eps is not None and impl in ("pallas", "pallas_interpret"):
         from nbody_tpu.ops.pallas_window_sweep import window_sweep_pallas
 
-        win_starts, overflow = _window_starts(
+        win_starts, win_chunks, overflow = _window_starts(
             grid, d=d, xy_offsets=xy_offsets, z_halfwidth=z_halfwidth,
             window=window, block_size=block_size,
         )
         acc_sorted = window_sweep_pallas(
-            grid.psort, grid.csort, win_starts,
+            grid.psort, grid.csort, win_starts, win_chunks,
             offsets=tuple(xy_offsets), block_size=block_size,
             window=window, z_hw=z_halfwidth, eps=eps, cut2=cutoff2,
             interpret=impl == "pallas_interpret",
         )
         n = grid.psort.shape[0]
+        if sorted_output:
+            return acc_sorted[:n], overflow
         return unsort_rows(acc_sorted[:n], grid.order), overflow
 
     if pair_weight is None:
@@ -333,6 +339,8 @@ def window_sweep(
 
     acc_blocks, over_blocks = jax.lax.map(one_block, (tpos_b, tcrd_b))
     acc_sorted = acc_blocks.reshape(n_pad, 3)[:n]
+    if sorted_output:
+        return acc_sorted, jnp.sum(over_blocks)
     return unsort_rows(acc_sorted, grid.order), jnp.sum(over_blocks)
 
 
@@ -345,13 +353,20 @@ def _window_starts(
     window: int,
     block_size: int,
 ):
-    """Vectorized per-(block, offset) window starts for the Pallas sweep.
+    """Vectorized per-(block, offset) window starts + live chunk counts
+    for the Pallas sweep.
 
     Same cell_start lookups as the XLA path's ``one_block``, but computed
     for all blocks at once, with each start aligned DOWN to a 128-lane
     boundary (the kernel DMAs ``window + 128`` rows, so alignment never
     loses coverage). Overflow counts rows a window could NOT cover —
     identical never-double-count semantics.
+
+    Returns ``(starts (nb, n_off) i32, nchunks (nb, n_off) i32,
+    overflow ())``: ``nchunks`` is each window's LIVE 128-lane span,
+    ``ceil((needed_end − aligned)/128)`` — rows past needed_end cannot
+    match the exact cell predicate (sorted ids), so the kernel loops only
+    the live chunks and skips empty windows' DMAs outright.
     """
     n = grid.psort.shape[0]
     num_cells = d * d * d
@@ -372,6 +387,7 @@ def _window_starts(
     last = tcrd[jnp.arange(nb), last_idx]  # (nb, 3)
 
     starts = []
+    chunks = []
     over = jnp.zeros((), jnp.int32)
     for dx, dy in xy_offsets:
         base0 = jnp.clip(
@@ -393,7 +409,12 @@ def _window_starts(
             jnp.maximum(needed_end - aligned - wbuf, 0)
         ).astype(jnp.int32)
         starts.append(aligned)
-    return jnp.stack(starts, axis=1).astype(jnp.int32), over
+        chunks.append(-(-jnp.maximum(needed_end - aligned, 0) // 128))
+    return (
+        jnp.stack(starts, axis=1).astype(jnp.int32),
+        jnp.stack(chunks, axis=1).astype(jnp.int32),
+        over,
+    )
 
 
 def xy_ball(ws: int) -> Tuple[Tuple[int, int], ...]:

@@ -345,26 +345,89 @@ def _spatial_hash_tiles_sorted(
     return acc, grid.psort, grid.order
 
 
+def spatial_hash_forces_window_sorted(
+    pos, mass, G=1.0, softening=0.1, *,
+    cutoff=2.0, cell_size=1.0, cap=64, window=2048, block_size=256,
+    impl=None, extra=None,
+):
+    """Sorted-pipeline WINDOW-engine forces → ``(acc_sorted, psort,
+    order[, extra_sorted])`` — the dense-regime counterpart of
+    ``spatial_hash_forces_tiles_sorted`` (same physics as
+    ``spatial_hash_forces``, outputs in the engine's CELL-SORTED row
+    order per the ops/integrator.make_sorted_multi_step contract)."""
+    if impl is None:
+        from nbody_tpu.ops.barnes_hut import resolve_impl
+
+        impl = resolve_impl("NBODY_PALLAS_WINDOW")
+    return _spatial_hash_window_sorted(
+        pos, mass, G, softening, cutoff=cutoff, cell_size=cell_size,
+        cap=cap, window=window, block_size=block_size, impl=impl,
+        extra=extra,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("G", "softening", "cutoff", "cell_size", "cap",
+                     "window", "block_size", "impl"),
+)
+def _spatial_hash_window_sorted(
+    pos, mass, G, softening, *, cutoff, cell_size, cap, window,
+    block_size, impl, extra=None,
+):
+    from nbody_tpu.ops.sorted_window import (
+        build_sorted_grid,
+        window_sweep,
+        xy_ball,
+    )
+
+    lo = jnp.min(pos, axis=0)
+    hi = jnp.max(pos, axis=0)
+    dims = jnp.clip(jnp.ceil((hi - lo) / cell_size).astype(jnp.int32), 1, cap)
+    coords = jnp.clip(
+        jnp.floor((pos - lo) / cell_size).astype(jnp.int32), 0, dims - 1
+    )
+    grid = build_sorted_grid(pos, mass, coords, cap, extra=extra)
+    acc, _over = window_sweep(
+        grid, d=cap, xy_offsets=xy_ball(1), z_halfwidth=1,
+        window=window, block_size=block_size,
+        eps=softening, cutoff2=cutoff * cutoff, impl=impl,
+        sorted_output=True,
+    )
+    if extra is not None:
+        return G * acc, grid.psort, grid.order, grid.extra
+    return G * acc, grid.psort, grid.order
+
+
 def make_spatial_hash_forces_sorted(
     config: SimulationConfig, pos_hint=None
 ):
-    """Sorted-pipeline strategy factory, or None when the resolved engine
-    has no sorted contract (only the tiles engine steps in sorted order;
-    callers fall back to plain stepping + unsort)."""
+    """Sorted-pipeline strategy factory — both engines step in sorted
+    order (tiles natively; the window engine via
+    ``spatial_hash_forces_window_sorted``)."""
     p = hash_engine_params(config, pos_hint)
-    if p["engine"] != "tiles":
-        return None
     G = config.G
     eps = config.softening
     cutoff = config.spatial_hash_cutoff
     cell = config.spatial_hash_cell_size
-    tile_d, tile_k, bw = p["tile_d"], p["tile_k"], p["build_window"]
+    if p["engine"] == "tiles":
+        tile_d, tile_k, bw = p["tile_d"], p["tile_k"], p["build_window"]
 
-    def sorted_force_fn(pos, mass, extra=None):
-        return spatial_hash_forces_tiles_sorted(
-            pos, mass, G, eps, cutoff=cutoff, cell_size=cell,
-            d=tile_d, k=tile_k, build_window=bw, extra=extra,
-        )
+        def sorted_force_fn(pos, mass, extra=None):
+            return spatial_hash_forces_tiles_sorted(
+                pos, mass, G, eps, cutoff=cutoff, cell_size=cell,
+                d=tile_d, k=tile_k, build_window=bw, extra=extra,
+            )
+
+    else:
+        cap = config.hash_max_grid_dim
+        window, block = p["window"], p["block"]
+
+        def sorted_force_fn(pos, mass, extra=None):
+            return spatial_hash_forces_window_sorted(
+                pos, mass, G, eps, cutoff=cutoff, cell_size=cell,
+                cap=cap, window=window, block_size=block, extra=extra,
+            )
 
     sorted_force_fn.engine_params = p
     return sorted_force_fn

@@ -84,7 +84,7 @@ def gram_forces(pos, mass):
 
 def main():
     from nbody_tpu.models.distributions import init_spherical
-    from nbody_tpu.ops.direct import direct_forces
+    from nbody_tpu.ops.direct import direct_forces, direct_forces_pallas
     from nbody_tpu.ops.morton import morton_encode
     from nbody_tpu.types import SphericalDistParams
     import numpy as np
@@ -104,13 +104,15 @@ def main():
         jax.block_until_ready((pos, mass))
 
         print(f"--- N={n}", flush=True)
-        a_prod = direct_forces(pos, mass, G, EPS)
+        a_prod = direct_forces_pallas(pos, mass, G, EPS)
         a_gram = gram_forces(pos, mass)
         num = float(jnp.sqrt(jnp.mean(jnp.sum((a_gram - a_prod) ** 2, -1))))
         den = float(jnp.sqrt(jnp.mean(jnp.sum(a_prod**2, -1))))
         print(f"gram-vs-production rel RMS: {num / den:.3e}", flush=True)
 
-        bench("production Pallas direct", lambda p: direct_forces(
+        bench("production Pallas direct", lambda p: direct_forces_pallas(
+            p, mass, G, EPS), pos)
+        bench("XLA blocked direct", lambda p: direct_forces(
             p, mass, G, EPS), pos)
         bench("MXU Gram HIGHEST recentered", lambda p: gram_forces(
             p, mass), pos)

@@ -205,12 +205,12 @@ def test_window_sweep_pallas_matches_xla():
         grid, d=d, xy_offsets=xy_ball(1), z_halfwidth=1,
         pair_weight=pw, window=wsize, block_size=b,
     )
-    starts, over_p = _window_starts(
+    starts, nchunks, over_p = _window_starts(
         grid, d=d, xy_offsets=xy_ball(1), z_halfwidth=1,
         window=wsize, block_size=b,
     )
     acc_sorted = window_sweep_pallas(
-        grid.psort, grid.csort, starts, offsets=xy_ball(1),
+        grid.psort, grid.csort, starts, nchunks, offsets=xy_ball(1),
         block_size=b, window=wsize, z_hw=1, eps=eps, cut2=cut2,
         interpret=True,
     )

@@ -310,3 +310,78 @@ def test_light_grid_matches_full(key):
     np.testing.assert_allclose(
         np.asarray(acc_light), np.asarray(acc_full), rtol=1e-6, atol=1e-7
     )
+
+
+def test_hash_window_sorted_matches_plain(key):
+    """Window-engine sorted contract: spatial_hash_forces_window_sorted
+    unsorted by its own permutation == spatial_hash_forces (same windows,
+    same predicate), and psort rows == pos/mass rows under order."""
+    from nbody_tpu.ops.sorted_window import unsort_rows
+    from nbody_tpu.ops.spatial_hash import (
+        spatial_hash_forces,
+        spatial_hash_forces_window_sorted,
+    )
+
+    s = _uniform_cube(key, 1500, side=14.0)
+    kw = dict(cutoff=1.5, cell_size=1.5, cap=16, window=1024)
+    acc_plain = spatial_hash_forces(
+        s.pos, s.mass, 1.0, 0.1, block_size=128, **kw,
+    )
+    acc_s, psort, order = spatial_hash_forces_window_sorted(
+        s.pos, s.mass, 1.0, 0.1, block_size=128, **kw,
+    )
+    np.testing.assert_allclose(
+        np.asarray(unsort_rows(acc_s, order)),
+        np.asarray(acc_plain),
+        rtol=1e-6, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(psort[:, :3]), np.asarray(s.pos)[np.asarray(order)]
+    )
+
+
+def test_sorted_factory_covers_both_hash_engines(key):
+    """make_spatial_hash_forces_sorted returns a working sorted force for
+    BOTH resolved engines, and full sorted stepping matches plain
+    stepping on each."""
+    from nbody_tpu.ops.integrator import (
+        initialize_forces,
+        make_multi_step,
+        make_sorted_multi_step,
+    )
+    from nbody_tpu.ops.spatial_hash import (
+        hash_engine_params,
+        make_spatial_hash_forces,
+        make_spatial_hash_forces_sorted,
+    )
+    from nbody_tpu.types import ForceMethod, SimulationConfig
+
+    sparse = _uniform_cube(key, 600, side=12.0)
+    dense = init_spherical(
+        jax.random.PRNGKey(7), 600, SphericalDistParams(radius=1.5)
+    )
+    for scene, state in (("sparse", sparse), ("dense", dense)):
+        cfg = SimulationConfig(
+            particle_count=600,
+            force_method=ForceMethod.SPATIAL_HASH,
+            spatial_hash_cell_size=2.0,
+            hash_max_grid_dim=16,
+            dt=1e-3,
+        )
+        p = hash_engine_params(cfg, state.pos)
+        expected = "tiles" if scene == "sparse" else "window"
+        assert p["engine"] == expected, (scene, p)
+        force = make_spatial_hash_forces(cfg, pos_hint=state.pos)
+        sorted_force = make_spatial_hash_forces_sorted(cfg, state.pos)
+        assert sorted_force is not None
+        st = initialize_forces(state, force)
+        plain = make_multi_step(force, 1e-3, 3)(st)
+        srt = make_sorted_multi_step(sorted_force, 1e-3, 3)(st)
+        np.testing.assert_allclose(
+            np.asarray(srt.pos), np.asarray(plain.pos),
+            rtol=2e-5, atol=2e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(srt.vel), np.asarray(plain.vel),
+            rtol=2e-5, atol=2e-6,
+        )
