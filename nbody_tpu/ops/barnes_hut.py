@@ -978,25 +978,31 @@ def _barnes_hut_forces(
             jnp.min(pos, axis=0), jnp.max(pos, axis=0), levels
         )
         coords = jnp.clip(((pos - lo) / cell).astype(jnp.int32), 0, d - 1)
-        # LIGHT grid build: the tiles engine never indexes per-cell
-        # segments — ranks come from one sorted-ids cummax and chunk
-        # starts from a few thousand searchsorted queries. The full d³
-        # index measured 8.8 ms (1M-row scatter-min) plus a 6.4 ms
-        # rank gather at 1M/d=64 (scripts/profile_r3p.py p1/p3 vs p6) —
-        # an earlier harness mis-attributed this to the sort itself.
-        grid = build_sorted_grid(
-            pos, mass, coords, d,
-            with_cell_start=False,
-            extra=extra,
-        )
-        ids_sorted = grid.ids
         from nbody_tpu.ops.tile_sweep import (
             tile_build_pallas,
             tile_engine_fused,
             tile_sweep_pick,
         )
 
-        if tile_engine_fused(d, near_k, near_impl) and multipole_order >= 2:
+        fused = tile_engine_fused(d, near_k, near_impl) and multipole_order >= 2
+        # LIGHT grid build: the tiles engine never indexes per-cell
+        # segments — ranks come from one sorted-ids cummax and chunk
+        # starts from a few thousand searchsorted queries. The full d³
+        # index measured 8.8 ms (1M-row scatter-min) plus a 6.4 ms
+        # rank gather at 1M/d=64 (scripts/profile_r3p.py p1/p3 vs p6) —
+        # an earlier harness mis-attributed this to the sort itself.
+        # The fused pipeline also never reads per-row cell coords
+        # (with_csort); the non-fused branch evaluates its far pickup at
+        # grid.csort cell centers and keeps them.
+        grid = build_sorted_grid(
+            pos, mass, coords, d,
+            with_cell_start=False,
+            extra=extra,
+            with_csort=not fused,
+        )
+        ids_sorted = grid.ids
+
+        if fused:
             # Fully fused TPU pipeline: ONE MXU scatter kernel builds the
             # slot tiles AND the finest-level multipole moments (+ exact
             # per-cell counts for the overflow audit) from the same

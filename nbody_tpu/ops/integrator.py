@@ -179,15 +179,55 @@ def make_sorted_multi_step(
     row order in, original row order out; the sorted permutation is purely
     internal to the scan. Per-step saving vs ``make_multi_step`` on the
     sorted engines: the unsort gather (~13 ms at 1M) minus one payload
-    gather (~3 ms)."""
+    gather (~3 ms).
 
-    def body(s, _):
+    The scan carry packs the velocity and the original-row tag into ONE
+    (N, 4) ``vel_tag`` array with the tag as an EXACT float (valid for
+    N < 2²⁴; larger N falls back to the bitcast step): both half-kicks
+    then double as the payload transform — ``vel_tag + ½dt·[acc | 0]``
+    touches the tag column only with exact +0.0 — deleting the per-step
+    concat/bitcast/slice passes around the payload gather
+    (scripts/profile_r3v.py vs the sorted_verlet_step form). Bit-identical
+    velocity arithmetic (same op order per component).
+    """
+    n_f32_exact = 1 << 24
+
+    def body_packed(c, _):
+        pos, vel_tag, acc, mass, t = c
+        dtc = jnp.asarray(dt, pos.dtype)
+        pos_d = pos + vel_tag[:, :3] * dtc + (0.5 * dtc * dtc) * acc
+        acc4 = jnp.pad(acc, ((0, 0), (0, 1)))
+        pay = vel_tag + (0.5 * dtc) * acc4
+        acc_s, psort, order = sorted_force_fn(pos_d, mass)[:3]
+        pay = pay[order]
+        vel_tag_n = pay + (0.5 * dtc) * jnp.pad(acc_s, ((0, 0), (0, 1)))
+        return (psort[:, :3], vel_tag_n, acc_s, psort[:, 3], t + dtc), None
+
+    def body_bitcast(s, _):
         return sorted_verlet_step(s, sorted_force_fn, dt), None
 
     def multi(state: ParticleState) -> ParticleState:
-        s0 = sorted_state_from(state)
-        out, _ = jax.lax.scan(body, s0, None, length=n_steps)
-        return to_particle_state(out)
+        n = state.pos.shape[0]
+        if n >= n_f32_exact:
+            s0 = sorted_state_from(state)
+            out, _ = jax.lax.scan(body_bitcast, s0, None, length=n_steps)
+            return to_particle_state(out)
+        tagf = jnp.arange(n, dtype=state.pos.dtype)[:, None]
+        c0 = (
+            state.pos,
+            jnp.concatenate([state.vel, tagf], axis=-1),
+            state.acc,
+            state.mass,
+            state.time,
+        )
+        (pos, vel_tag, acc, mass, t), _ = jax.lax.scan(
+            body_packed, c0, None, length=n_steps
+        )
+        inv = jnp.argsort(vel_tag[:, 3].astype(jnp.int32))
+        return ParticleState(
+            pos=pos[inv], vel=vel_tag[inv, :3], acc=acc[inv],
+            mass=mass[inv], time=t,
+        )
 
     return multi
 

@@ -43,7 +43,10 @@ class SortedGrid:
 
     order:      (N,) sort permutation (original → sorted is order[i])
     psort:      (N, 4) x, y, z, mass in sorted order
-    csort:      (N, 3) int32 cell coords in sorted order
+    csort:      (N, 3) int32 cell coords in sorted order, or None when
+                built with ``with_csort=False`` (the fused tile engines
+                never read per-row cell coords — skipping the div/mod
+                derivation saves ~1 ms of 1M-row int passes per step)
     ids:        (N,) int32 linear cell ids in sorted order (non-decreasing;
                 the sort key — carried so consumers skip re-deriving it
                 from csort, ~2 ms of 1M-row int passes per step)
@@ -59,9 +62,9 @@ class SortedGrid:
 
     order: jax.Array
     psort: jax.Array
-    csort: jax.Array
+    csort: jax.Array | None
     ids: jax.Array
-    cell_start: jax.Array
+    cell_start: jax.Array | None
     extra: jax.Array | None = None
 
 
@@ -83,6 +86,7 @@ def build_sorted_grid(
     d: int,
     with_cell_start: bool = True,
     extra: jax.Array | None = None,
+    with_csort: bool = True,
 ) -> SortedGrid:
     """Counting sort by cell id (the XLA form of the reference's histogram +
     exclusive_scan + scatter pipeline, force_spatial_hash.cu:52-80).
@@ -122,9 +126,12 @@ def build_sorted_grid(
         jnp.int32
     )
     extra_sorted = payload[:, 5:] if extra is not None else None
-    cz = sorted_ids % d
-    cyx = sorted_ids // d
-    csort = jnp.stack([cyx // d, cyx % d, cz], axis=-1)
+    if with_csort:
+        cz = sorted_ids % d
+        cyx = sorted_ids // d
+        csort = jnp.stack([cyx // d, cyx % d, cz], axis=-1)
+    else:
+        csort = None
     if with_cell_start:
         arange = jnp.arange(n, dtype=jnp.int32)
         first = (

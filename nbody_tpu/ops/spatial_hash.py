@@ -330,9 +330,11 @@ def _spatial_hash_tiles_sorted(
     )
     # Light build: the tiles engine needs no per-cell segment index
     # (scripts/profile_r3p.py — the full d³ index + rank gather cost
-    # ~15 ms at 1M vs ~2.5 ms for sorted_ranks + searchsorted starts).
+    # ~15 ms at 1M vs ~2.5 ms for sorted_ranks + searchsorted starts)
+    # and no per-row cell coords.
     grid = build_sorted_grid(
         pos, mass, coords, d, with_cell_start=False, extra=extra,
+        with_csort=False,
     )
     acc, _over = tile_near_field(
         pos, mass, coords, lo, jnp.asarray(cell_size, pos.dtype),

@@ -300,8 +300,11 @@ def tile_near_field(
         # ranks come from sorted_ranks and chunk starts from a few
         # thousand searchsorted queries; the full d³ index costs ~8.8 ms
         # (1M-row scatter-min) plus a 6.4 ms rank gather at 1M
-        # (scripts/profile_r3p.py p1/p3 vs p6).
-        grid = build_sorted_grid(pos, mass, coords, d, with_cell_start=False)
+        # (scripts/profile_r3p.py p1/p3 vs p6) — and per-row cell coords
+        # are never read either (with_csort=False).
+        grid = build_sorted_grid(
+            pos, mass, coords, d, with_cell_start=False, with_csort=False
+        )
 
     pallas_ok = tile_engine_fused(d, k, impl)
     if far_plane is not None and not pallas_ok:
