@@ -145,14 +145,23 @@ class Application:
         self._initialize_system()
         consume_global_phase_snapshot()  # drain profiler (main.cpp:361)
 
-        # warm-up: one step to pay XLA compilation outside the timed loop
-        self.system.update()
+        # Fused chunks: one device program per chunk instead of one
+        # dispatch per step (through the TPU tunnel a dispatch costs
+        # ~250 ms — a per-step loop is dispatch-bound, not physics-bound;
+        # same timing discipline as bench.py). Chunk bounded so any one
+        # program stays well under the TPU worker's long-program limit.
+        chunk = max(1, min(o.benchmark_steps, 50))
+        # equal chunks only: a different tail size would recompile INSIDE
+        # the timed loop; we round the step count up and report it
+        n_chunks = -(-o.benchmark_steps // chunk)
+        steps = n_chunks * chunk
+        # warm-up: one chunk to pay XLA compilation outside the timed loop
+        self.system.run_steps(chunk)
         self.system.block_until_ready()
 
-        steps = o.benchmark_steps
         t0 = time.perf_counter()
-        for _ in range(steps):
-            self.system.update()
+        for _ in range(n_chunks):
+            self.system.run_steps(chunk)
         self.system.block_until_ready()
         wall = time.perf_counter() - t0
 

@@ -90,6 +90,13 @@ def make_sorted_force_fn(
     ``make_force_fn`` + plain stepping.
     """
     if config.force_method == ForceMethod.BARNES_HUT:
+        # The BH sorted contract only exists on the fused Pallas tiles
+        # path; off-TPU it would run interpret mode — Python-emulated
+        # kernels, ~100× slower than the plain XLA path. CPU callers
+        # fall back to plain stepping (tests exercise the interpret
+        # path explicitly via barnes_hut_forces_sorted).
+        if not _use_pallas(backend):
+            return None
         from nbody_tpu.ops.barnes_hut import make_barnes_hut_forces_sorted
 
         return make_barnes_hut_forces_sorted(config)

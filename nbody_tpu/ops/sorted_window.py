@@ -91,6 +91,16 @@ def build_sorted_grid(
     """Counting sort by cell id (the XLA form of the reference's histogram +
     exclusive_scan + scatter pipeline, force_spatial_hash.cu:52-80).
 
+    MEASURED DEAD END (r3, recorded so it stays dead): replacing the
+    argsort + packed-payload-gather below with ONE multi-operand
+    ``lax.sort`` carrying every payload column microbenches FASTER in
+    isolation (5.7 vs 9.5 ms at 1M, profile_r3v v1/v1b) but regresses
+    EVERY integrated cell (1M BH 27.0 → 21.2 steps/s, 1M dense hash
+    9.5 → 3.5, 100K hash 132 → 92 — /tmp batch3 vs batch2): six
+    operands ride the full sorting network's data movement and the
+    per-column outputs force downstream relayouts that the isolated
+    checksum consumer hid. The argsort + ONE wide row gather stays.
+
     ``with_cell_start=False`` skips the full per-cell segment index (a
     1M-row scatter-min + d³ cummin): worthwhile only for LARGE grids
     (see ``use_full_cell_start`` — at d ≤ 64 the full build is measured
@@ -109,8 +119,7 @@ def build_sorted_grid(
     # two separate psort/csort gathers measured ~3 ms more). The cell id
     # rides bit-exactly through the gather as a float bitcast of the
     # SAME width as the payload dtype (a dtype promotion would convert
-    # the value and destroy the bits) and csort is re-derived from it
-    # with vector div/mod.
+    # the value and destroy the bits).
     fdt = jnp.result_type(pos.dtype, mass.dtype)
     idt = jnp.int64 if fdt == jnp.float64 else jnp.int32
     parts = [

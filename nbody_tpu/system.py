@@ -45,6 +45,7 @@ class ParticleSystem:
         self._state: Optional[ParticleState] = None
         self._force_fn = None
         self._step = None
+        self._multi_cache = (0, None)  # (n_steps, jitted multi-step)
         self._paused = False
         self._initialized = False
 
@@ -79,6 +80,7 @@ class ParticleSystem:
             pos_hint = self._state.pos
         self._force_fn = make_force_fn(self._config, pos_hint=pos_hint)
         self._step = jax.jit(make_verlet_step(self._force_fn, self._config.dt))
+        self._multi_cache = (0, None)
 
     # ---- stepping --------------------------------------------------------
 
@@ -92,6 +94,43 @@ class ParticleSystem:
             if dt is not None and dt != self._config.dt:
                 self.set_time_step(dt)
             self._state = self._step(self._state)
+
+    def run_steps(self, n_steps: int) -> None:
+        """``n_steps`` Verlet steps fused into ONE device program — the
+        scale path for benchmark/headless runs (one dispatch instead of
+        n; through the TPU tunnel a dispatch costs ~250 ms, so per-step
+        ``update()`` loops are dispatch-bound). Uses sorted-state
+        stepping when the live engine has the contract
+        (ops/integrator.make_sorted_multi_step — the same path bench.py
+        measures); physics is gated equivalent to repeated ``update()``
+        by tests. No-op while paused. The jitted program is cached per
+        (strategy, n_steps) — prefer one chunk size across calls.
+        """
+        self._require_init()
+        if self._paused or n_steps <= 0:
+            return
+        with profile_phase("simulation.run_steps"):
+            if self._multi_cache[0] != n_steps:
+                from nbody_tpu.ops.forces import make_sorted_force_fn
+                from nbody_tpu.ops.integrator import (
+                    make_multi_step,
+                    make_sorted_multi_step,
+                )
+
+                sorted_force = make_sorted_force_fn(
+                    self._config, pos_hint=self._state.pos
+                )
+                multi = (
+                    make_sorted_multi_step(
+                        sorted_force, self._config.dt, n_steps
+                    )
+                    if sorted_force is not None
+                    else make_multi_step(
+                        self._force_fn, self._config.dt, n_steps
+                    )
+                )
+                self._multi_cache = (n_steps, jax.jit(multi))
+            self._state = self._multi_cache[1](self._state)
 
     def pause(self) -> None:
         self._require_init()
@@ -127,6 +166,7 @@ class ParticleSystem:
         validate_config(cfg)
         self._config = cfg
         self._step = jax.jit(make_verlet_step(self._force_fn, dt))
+        self._multi_cache = (0, None)
 
     def _set_param(self, **kw) -> None:
         self._require_init()

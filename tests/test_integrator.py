@@ -203,17 +203,25 @@ def test_sorted_multi_step_matches_plain():
     )
     from nbody_tpu.ops.integrator import make_sorted_multi_step
 
-    n, levels, steps, dt = 2000, 3, 4, 1e-3
+    # levels=3 is the floor: at levels=2 (64 cells × k=16 slots for
+    # 2000 particles) half the rows overflow the slot cap and the two
+    # paths' DIFFERENT overflow fallbacks dominate (far-A-at-center vs
+    # full expansion at position — both audited, deliberately compared
+    # only in the overflow-free regime). n/steps shrunk instead: the
+    # sorted path runs the fused pipeline in interpret mode on CPU
+    # (barnes_hut_forces_sorted maps "xla" → "pallas_interpret" — the
+    # sorted contract exists only on the fused path), whose Python
+    # emulation cost scales with n × steps (2000×4 measured 136 s).
+    n, levels, steps, dt = 800, 3, 2, 1e-3
     from nbody_tpu.types import SphericalDistParams
 
     state = init_spherical(
         jax.random.PRNGKey(7), n, SphericalDistParams(radius=5.0)
     )
 
-    # XLA near engine: this test gates the sorted-vs-plain STEPPING
-    # contract, not the Pallas kernel (kernel equivalence is
-    # test_pallas_kernels.py) — interpret mode here costs ~250 s of
-    # Python emulation inside the scan for no extra coverage.
+    # Plain path on the XLA near engine (fast oracle); the sorted path
+    # necessarily runs interpret mode (see above). Kernel equivalence
+    # itself is test_pallas_kernels.py's job.
     def force(pos, mass):
         return _barnes_hut_forces(
             pos, mass, 1.0, 0.1, 0.5, levels=levels, window=2048,

@@ -138,3 +138,41 @@ def test_plummer_init_runs():
     )
     sys_.update()
     assert np.isfinite(sys_.positions()).all()
+
+
+def test_run_steps_matches_update(small_system):
+    """Fused run_steps == repeated update (same physics, one program),
+    including the sorted-stepping path when the engine has the contract,
+    and the jit cache invalidates on strategy rebuild."""
+    import copy
+
+    sys2 = ParticleSystem()
+    sys2.initialize(small_system.config)
+    for _ in range(4):
+        small_system.update()
+    sys2.run_steps(4)
+    np.testing.assert_allclose(
+        np.asarray(sys2.state.pos),
+        np.asarray(small_system.state.pos),
+        rtol=2e-5, atol=2e-6,
+    )
+    assert abs(sys2.simulation_time - small_system.simulation_time) < 1e-9
+
+    # paused → no-op
+    sys2.pause()
+    t = sys2.simulation_time
+    sys2.run_steps(3)
+    assert sys2.simulation_time == t
+    sys2.resume()
+
+    # live method switch rebuilds the fused program (hash engine)
+    sys2.set_force_method(ForceMethod.SPATIAL_HASH)
+    small_system.set_force_method(ForceMethod.SPATIAL_HASH)
+    for _ in range(3):
+        small_system.update()
+    sys2.run_steps(3)
+    np.testing.assert_allclose(
+        np.asarray(sys2.state.pos),
+        np.asarray(small_system.state.pos),
+        rtol=2e-5, atol=2e-6,
+    )
