@@ -994,22 +994,11 @@ def _barnes_hut_forces(
         # The fused pipeline also never reads per-row cell coords
         # (with_csort); the non-fused branch evaluates its far pickup at
         # grid.csort cell centers and keeps them.
-        def ids_sorted_fn(psort, lo=lo, cell=cell):
-            # Same binning as `coords` above, on the same position bits
-            # (bit-exact promise of build_sorted_grid's ids_sorted_fn) —
-            # drops the ids column so a 4-col extra keeps the payload at
-            # the 8-column row-gather width limit (profile_r3w w1/w1c).
-            cs = jnp.clip(
-                ((psort[:, :3] - lo) / cell).astype(jnp.int32), 0, d - 1
-            )
-            return (cs[:, 0] * d + cs[:, 1]) * d + cs[:, 2]
-
         grid = build_sorted_grid(
             pos, mass, coords, d,
             with_cell_start=False,
             extra=extra,
             with_csort=not fused,
-            ids_sorted_fn=ids_sorted_fn,
         )
         ids_sorted = grid.ids
 

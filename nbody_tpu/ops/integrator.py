@@ -137,15 +137,14 @@ def sorted_verlet_step(
 ) -> SortedState:
     """One Velocity Verlet step entirely in sorted space.
 
-    The half-kicked velocity and the original-row tag ride through the
-    force's INTERNAL sort gather as its 4-column ``extra`` payload. TPU
-    row gathers are width-insensitive only up to 8 TOTAL payload
-    columns, so this is free precisely because the engines drop their
-    cell-id column when extra rides along (build_sorted_grid's
-    ids_sorted_fn — the full picture is measured in
-    scripts/profile_r3w.py w1 vs w1c: 8-col payload 8.9 ms vs 5-col +
-    separate pay gather 15.7 ms at 1M; the naive 9-col form measured
-    +15.7 ms of retiling, profile_r3t t1−t0). The int32 tag rides
+    The half-kicked velocity and the original-row tag are re-sorted by
+    the engine's returned permutation with ONE separate (N, 4) row
+    gather. Shipping them through the force's internal sort gather as
+    its ``extra`` payload looks free ("row gathers are
+    width-insensitive") but MEASURES +15.7 ms/step at 1M vs +3.5 ms for
+    this form (scripts/profile_r3t.py t1−t0 vs profile_r3u.py): the
+    wider payload drags every downstream narrow slice of the engine's
+    (N, 9) concat through XLA retiling copies. The int32 tag rides
     bit-exactly via a bitcast — it is only gathered, never computed on.
     (f32 pipelines only: an f64 payload dtype would value-convert the
     bitcast column.)
@@ -153,7 +152,8 @@ def sorted_verlet_step(
     dt = jnp.asarray(dt, s.pos.dtype)
     pos_d = s.pos + s.vel * dt + (0.5 * dt * dt) * s.acc
     vel_h = s.vel + (0.5 * dt) * s.acc
-    extra = jnp.concatenate(
+    acc_s, psort, order = sorted_force_fn(pos_d, s.mass)[:3]
+    pay = jnp.concatenate(
         [
             vel_h,
             jax.lax.bitcast_convert_type(
@@ -161,10 +161,9 @@ def sorted_verlet_step(
             )[:, None],
         ],
         axis=-1,
-    )
-    acc_s, psort, order, extra_s = sorted_force_fn(pos_d, s.mass, extra)
-    vel_s = extra_s[:, :3] + (0.5 * dt) * acc_s
-    to_orig = jax.lax.bitcast_convert_type(extra_s[:, 3], jnp.int32)
+    )[order]
+    vel_s = pay[:, :3] + (0.5 * dt) * acc_s
+    to_orig = jax.lax.bitcast_convert_type(pay[:, 3], jnp.int32)
     return SortedState(
         pos=psort[:, :3], vel=vel_s, acc=acc_s, mass=psort[:, 3],
         to_orig=to_orig, time=s.time + dt,
@@ -186,10 +185,10 @@ def make_sorted_multi_step(
     (N, 4) ``vel_tag`` array with the tag as an EXACT float (valid for
     N < 2²⁴; larger N falls back to the bitcast step): both half-kicks
     then double as the payload transform — ``vel_tag + ½dt·[acc | 0]``
-    touches the tag column only with exact +0.0 — and the result rides
-    the engine's own sort gather as its ``extra`` payload (free within
-    the 8-column row-gather width limit; profile_r3w w1 vs w1c).
-    Bit-identical velocity arithmetic (same op order per component).
+    touches the tag column only with exact +0.0 — deleting the per-step
+    concat/bitcast/slice passes around the payload gather
+    (scripts/profile_r3v.py vs the sorted_verlet_step form). Bit-identical
+    velocity arithmetic (same op order per component).
     """
     n_f32_exact = 1 << 24
 
@@ -198,9 +197,10 @@ def make_sorted_multi_step(
         dtc = jnp.asarray(dt, pos.dtype)
         pos_d = pos + vel_tag[:, :3] * dtc + (0.5 * dtc * dtc) * acc
         acc4 = jnp.pad(acc, ((0, 0), (0, 1)))
-        extra = vel_tag + (0.5 * dtc) * acc4
-        acc_s, psort, order, extra_s = sorted_force_fn(pos_d, mass, extra)
-        vel_tag_n = extra_s + (0.5 * dtc) * jnp.pad(acc_s, ((0, 0), (0, 1)))
+        pay = vel_tag + (0.5 * dtc) * acc4
+        acc_s, psort, order = sorted_force_fn(pos_d, mass)[:3]
+        pay = pay[order]
+        vel_tag_n = pay + (0.5 * dtc) * jnp.pad(acc_s, ((0, 0), (0, 1)))
         return (psort[:, :3], vel_tag_n, acc_s, psort[:, 3], t + dtc), None
 
     def body_bitcast(s, _):

@@ -87,7 +87,6 @@ def build_sorted_grid(
     with_cell_start: bool = True,
     extra: jax.Array | None = None,
     with_csort: bool = True,
-    ids_sorted_fn=None,
 ) -> SortedGrid:
     """Counting sort by cell id (the XLA form of the reference's histogram +
     exclusive_scan + scatter pipeline, force_spatial_hash.cu:52-80).
@@ -108,17 +107,6 @@ def build_sorted_grid(
     FASTER than the ``sorted_ranks`` cummax + ``cell_starts_at``
     searchsorted that replace it). The WINDOW engine indexes cell_start
     per cell and always needs the eager build.
-
-    ``ids_sorted_fn(psort) -> (N,) i32`` — when given, the cell-id
-    column is DROPPED from the sort payload and the sorted ids are
-    recomputed from the sorted positions instead (the caller promises
-    ``ids_sorted_fn(psort) == ids[order]`` bit-exactly — same binning
-    formula on the same position bits). This keeps the payload at
-    ≤ 8 columns when a 4-column ``extra`` rides along: TPU row gathers
-    are width-insensitive only up to 8 columns — a 9-wide payload drags
-    every downstream slice through retiling copies, measured +6.8 ms at
-    1M (scripts/profile_r3w.py w1 vs w1c; the +15.7 ms r3t finding was
-    this cliff, not the extra itself).
     """
     n = pos.shape[0]
     num_cells = d * d * d
@@ -127,29 +115,26 @@ def build_sorted_grid(
     ).astype(jnp.int32)  # explicit: x64 mode would promote to int64
     order = jnp.argsort(ids).astype(jnp.int32)
     # ONE payload gather for everything sorted (row gathers are
-    # width-insensitive on TPU up to 8 columns). Without ids_sorted_fn
-    # the cell id rides bit-exactly as a float bitcast of the SAME width
-    # as the payload dtype (a dtype promotion would convert the value
-    # and destroy the bits).
+    # width-insensitive on TPU — 5 columns cost the same ~3 ms/1M as 1;
+    # two separate psort/csort gathers measured ~3 ms more). The cell id
+    # rides bit-exactly through the gather as a float bitcast of the
+    # SAME width as the payload dtype (a dtype promotion would convert
+    # the value and destroy the bits).
     fdt = jnp.result_type(pos.dtype, mass.dtype)
     idt = jnp.int64 if fdt == jnp.float64 else jnp.int32
-    parts = [pos, mass[:, None]]
-    if ids_sorted_fn is None:
-        parts.append(
-            jax.lax.bitcast_convert_type(ids.astype(idt), fdt)[:, None]
-        )
+    parts = [
+        pos,
+        mass[:, None],
+        jax.lax.bitcast_convert_type(ids.astype(idt), fdt)[:, None],
+    ]
     if extra is not None:
         parts.append(extra.astype(fdt))
     payload = jnp.concatenate(parts, axis=-1)[order]
     psort = payload[:, :4]
-    if ids_sorted_fn is not None:
-        sorted_ids = ids_sorted_fn(psort).astype(jnp.int32)
-        extra_sorted = payload[:, 4:] if extra is not None else None
-    else:
-        sorted_ids = jax.lax.bitcast_convert_type(
-            payload[:, 4], idt
-        ).astype(jnp.int32)
-        extra_sorted = payload[:, 5:] if extra is not None else None
+    sorted_ids = jax.lax.bitcast_convert_type(payload[:, 4], idt).astype(
+        jnp.int32
+    )
+    extra_sorted = payload[:, 5:] if extra is not None else None
     if with_csort:
         cz = sorted_ids % d
         cyx = sorted_ids // d

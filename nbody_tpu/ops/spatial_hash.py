@@ -328,23 +328,13 @@ def _spatial_hash_tiles_sorted(
     coords = jnp.clip(
         jnp.floor((pos - lo) / cell_size).astype(jnp.int32), 0, d - 1
     )
-
-    def ids_sorted_fn(psort, lo=lo):
-        # same binning as `coords`, on the same bits (8-col payload rule,
-        # build_sorted_grid.ids_sorted_fn)
-        cs = jnp.clip(
-            jnp.floor((psort[:, :3] - lo) / cell_size).astype(jnp.int32),
-            0, d - 1,
-        )
-        return (cs[:, 0] * d + cs[:, 1]) * d + cs[:, 2]
-
     # Light build: the tiles engine needs no per-cell segment index
     # (scripts/profile_r3p.py — the full d³ index + rank gather cost
     # ~15 ms at 1M vs ~2.5 ms for sorted_ranks + searchsorted starts)
     # and no per-row cell coords.
     grid = build_sorted_grid(
         pos, mass, coords, d, with_cell_start=False, extra=extra,
-        with_csort=False, ids_sorted_fn=ids_sorted_fn,
+        with_csort=False,
     )
     acc, _over = tile_near_field(
         pos, mass, coords, lo, jnp.asarray(cell_size, pos.dtype),
@@ -399,19 +389,7 @@ def _spatial_hash_window_sorted(
     coords = jnp.clip(
         jnp.floor((pos - lo) / cell_size).astype(jnp.int32), 0, dims - 1
     )
-
-    def ids_sorted_fn(psort, lo=lo, dims=dims):
-        # same binning as `coords`, on the same bits (8-col payload rule,
-        # build_sorted_grid.ids_sorted_fn)
-        cs = jnp.clip(
-            jnp.floor((psort[:, :3] - lo) / cell_size).astype(jnp.int32),
-            0, dims - 1,
-        )
-        return (cs[:, 0] * cap + cs[:, 1]) * cap + cs[:, 2]
-
-    grid = build_sorted_grid(
-        pos, mass, coords, cap, extra=extra, ids_sorted_fn=ids_sorted_fn,
-    )
+    grid = build_sorted_grid(pos, mass, coords, cap, extra=extra)
     acc, _over = window_sweep(
         grid, d=cap, xy_offsets=xy_ball(1), z_halfwidth=1,
         window=window, block_size=block_size,
