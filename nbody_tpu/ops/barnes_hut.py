@@ -994,11 +994,26 @@ def _barnes_hut_forces(
         # The fused pipeline also never reads per-row cell coords
         # (with_csort); the non-fused branch evaluates its far pickup at
         # grid.csort cell centers and keeps them.
+        def ids_sorted_fn(psort, lo=lo, cell=cell):
+            # Same binning as `coords` above, on the same position bits
+            # (bit-exact promise of build_sorted_grid's ids_sorted_fn) —
+            # drops the ids column so a 4-col extra keeps the payload at
+            # the 8-column row-gather width limit (profile_r3w w1/w1c).
+            cs = jnp.clip(
+                ((psort[:, :3] - lo) / cell).astype(jnp.int32), 0, d - 1
+            )
+            return (cs[:, 0] * d + cs[:, 1]) * d + cs[:, 2]
+
+        # Only drop the id column when the payload would otherwise cross
+        # the 8-column row-gather width cliff; without extra the 5-wide
+        # bitcast form stays (recomputing ids costs a 1M-row div pass).
+        wide = extra is not None and extra.shape[-1] + 5 > 8
         grid = build_sorted_grid(
             pos, mass, coords, d,
             with_cell_start=False,
             extra=extra,
             with_csort=not fused,
+            ids_sorted_fn=ids_sorted_fn if wide else None,
         )
         ids_sorted = grid.ids
 
@@ -1230,6 +1245,10 @@ def make_barnes_hut_forces_sorted(config: SimulationConfig):
             extra=extra,
         )
 
+    # Barnes-Hut measured FASTER with the integrator's separate payload
+    # gather than with extra riding the engine sort (+7.7 ms/step at 1M
+    # through the routed form — scripts/profile_r3w2.py w0 vs w1).
+    sorted_force_fn.route_extra = False
     return sorted_force_fn
 
 

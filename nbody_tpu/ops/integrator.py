@@ -133,26 +133,31 @@ def to_particle_state(s: SortedState) -> ParticleState:
 
 
 def sorted_verlet_step(
-    s: SortedState, sorted_force_fn: SortedForceFn, dt
+    s: SortedState, sorted_force_fn: SortedForceFn, dt,
+    route_extra: bool = False,
 ) -> SortedState:
     """One Velocity Verlet step entirely in sorted space.
 
-    The half-kicked velocity and the original-row tag are re-sorted by
-    the engine's returned permutation with ONE separate (N, 4) row
-    gather. Shipping them through the force's internal sort gather as
-    its ``extra`` payload looks free ("row gathers are
-    width-insensitive") but MEASURES +15.7 ms/step at 1M vs +3.5 ms for
-    this form (scripts/profile_r3t.py t1−t0 vs profile_r3u.py): the
-    wider payload drags every downstream narrow slice of the engine's
-    (N, 9) concat through XLA retiling copies. The int32 tag rides
-    bit-exactly via a bitcast — it is only gathered, never computed on.
-    (f32 pipelines only: an f64 payload dtype would value-convert the
-    bitcast column.)
+    The half-kicked velocity and the original-row tag must be re-sorted
+    by the engine's permutation each step. Two measured routes
+    (scripts/profile_r3w2.py, integrated 1M multi-steps):
+
+      * ``route_extra=False`` (default): ONE separate (N, 4) row gather
+        by the returned permutation. Best for Barnes-Hut (the routed
+        form REGRESSES it 7.7 ms/step at 1M — w0 vs w1).
+      * ``route_extra=True``: the payload rides the force's INTERNAL
+        sort gather as its 4-column ``extra`` (the engine drops its
+        cell-id column to stay at the 8-column row-gather width limit,
+        build_sorted_grid's ids_sorted_fn). Best for the hash engines
+        (−2.3 ms/step at 1M sparse — w2 vs w3).
+
+    The int32 tag rides bit-exactly via a bitcast — it is only
+    gathered, never computed on. (f32 pipelines only: an f64 payload
+    dtype would value-convert the bitcast column.)
     """
     dt = jnp.asarray(dt, s.pos.dtype)
     pos_d = s.pos + s.vel * dt + (0.5 * dt * dt) * s.acc
     vel_h = s.vel + (0.5 * dt) * s.acc
-    acc_s, psort, order = sorted_force_fn(pos_d, s.mass)[:3]
     pay = jnp.concatenate(
         [
             vel_h,
@@ -161,7 +166,12 @@ def sorted_verlet_step(
             )[:, None],
         ],
         axis=-1,
-    )[order]
+    )
+    if route_extra:
+        acc_s, psort, order, pay = sorted_force_fn(pos_d, s.mass, pay)
+    else:
+        acc_s, psort, order = sorted_force_fn(pos_d, s.mass)[:3]
+        pay = pay[order]
     vel_s = pay[:, :3] + (0.5 * dt) * acc_s
     to_orig = jax.lax.bitcast_convert_type(pay[:, 3], jnp.int32)
     return SortedState(
@@ -171,7 +181,8 @@ def sorted_verlet_step(
 
 
 def make_sorted_multi_step(
-    sorted_force_fn: SortedForceFn, dt: float, n_steps: int
+    sorted_force_fn: SortedForceFn, dt: float, n_steps: int,
+    route_extra: bool | None = None,
 ):
     """``n_steps`` sorted Verlet steps fused into one XLA program.
 
@@ -185,11 +196,17 @@ def make_sorted_multi_step(
     (N, 4) ``vel_tag`` array with the tag as an EXACT float (valid for
     N < 2²⁴; larger N falls back to the bitcast step): both half-kicks
     then double as the payload transform — ``vel_tag + ½dt·[acc | 0]``
-    touches the tag column only with exact +0.0 — deleting the per-step
-    concat/bitcast/slice passes around the payload gather
-    (scripts/profile_r3v.py vs the sorted_verlet_step form). Bit-identical
-    velocity arithmetic (same op order per component).
+    touches the tag column only with exact +0.0. ``route_extra`` picks
+    how the payload is re-sorted each step (see ``sorted_verlet_step``:
+    separate gather is best for Barnes-Hut, riding the engine's sort
+    gather best for the hash engines — scripts/profile_r3w2.py).
+    Bit-identical velocity arithmetic (same op order per component).
+    ``route_extra=None`` defers to the force closure's own preference
+    (the ``route_extra`` attribute the engine factories set — hash
+    engines True, Barnes-Hut False), defaulting to the separate gather.
     """
+    if route_extra is None:
+        route_extra = bool(getattr(sorted_force_fn, "route_extra", False))
     n_f32_exact = 1 << 24
 
     def body_packed(c, _):
@@ -198,13 +215,16 @@ def make_sorted_multi_step(
         pos_d = pos + vel_tag[:, :3] * dtc + (0.5 * dtc * dtc) * acc
         acc4 = jnp.pad(acc, ((0, 0), (0, 1)))
         pay = vel_tag + (0.5 * dtc) * acc4
-        acc_s, psort, order = sorted_force_fn(pos_d, mass)[:3]
-        pay = pay[order]
+        if route_extra:
+            acc_s, psort, order, pay = sorted_force_fn(pos_d, mass, pay)
+        else:
+            acc_s, psort, order = sorted_force_fn(pos_d, mass)[:3]
+            pay = pay[order]
         vel_tag_n = pay + (0.5 * dtc) * jnp.pad(acc_s, ((0, 0), (0, 1)))
         return (psort[:, :3], vel_tag_n, acc_s, psort[:, 3], t + dtc), None
 
     def body_bitcast(s, _):
-        return sorted_verlet_step(s, sorted_force_fn, dt), None
+        return sorted_verlet_step(s, sorted_force_fn, dt, route_extra), None
 
     def multi(state: ParticleState) -> ParticleState:
         n = state.pos.shape[0]

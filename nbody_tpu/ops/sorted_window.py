@@ -87,6 +87,7 @@ def build_sorted_grid(
     with_cell_start: bool = True,
     extra: jax.Array | None = None,
     with_csort: bool = True,
+    ids_sorted_fn=None,
 ) -> SortedGrid:
     """Counting sort by cell id (the XLA form of the reference's histogram +
     exclusive_scan + scatter pipeline, force_spatial_hash.cu:52-80).
@@ -107,6 +108,30 @@ def build_sorted_grid(
     FASTER than the ``sorted_ranks`` cummax + ``cell_starts_at``
     searchsorted that replace it). The WINDOW engine indexes cell_start
     per cell and always needs the eager build.
+
+    ``ids_sorted_fn(psort) -> (N,) i32`` — when given, the cell-id
+    column is DROPPED from the sort payload and the sorted ids are
+    recomputed from the sorted positions instead. This keeps the payload
+    at ≤ 8 columns when a 4-column ``extra`` rides along: TPU row
+    gathers are width-insensitive only up to 8 columns — a 9-wide
+    payload drags every downstream slice through retiling copies,
+    measured +6.8 ms at 1M (scripts/profile_r3w.py w1 vs w1c; the
+    +15.7 ms r3t finding was this cliff, not the extra itself).
+
+    The recomputation is the same binning formula on the same position
+    bits, but XLA may fuse the two sites differently (FMA/reciprocal
+    selection), so a row balancing EXACTLY on an f32 rounding edge can
+    re-bin to a neighbor cell (measured: max |acc diff| 1e-2 on a
+    handful of 1M rows, scripts/profile_r3w2.py). A raw disagreement
+    would break the engines' monotone-dest contract and serve that row
+    a filler slot, so the recomputed ids are CLAMPED MONOTONE with a
+    running max: a divergent row degrades to a one-cell-late assignment
+    (it still interacts with real neighbors through its real position —
+    the same error class as the binning's own boundary ties), never a
+    dropped or phantom row. Use only where the integrated win is
+    measured: the hash engines gain ~2.3 ms/step at 1M; Barnes-Hut
+    REGRESSES 7.7 ms/step through this route (r3w2 w0−w3) and keeps the
+    bitcast id column + separate payload gather.
     """
     n = pos.shape[0]
     num_cells = d * d * d
@@ -115,26 +140,32 @@ def build_sorted_grid(
     ).astype(jnp.int32)  # explicit: x64 mode would promote to int64
     order = jnp.argsort(ids).astype(jnp.int32)
     # ONE payload gather for everything sorted (row gathers are
-    # width-insensitive on TPU — 5 columns cost the same ~3 ms/1M as 1;
-    # two separate psort/csort gathers measured ~3 ms more). The cell id
-    # rides bit-exactly through the gather as a float bitcast of the
-    # SAME width as the payload dtype (a dtype promotion would convert
-    # the value and destroy the bits).
+    # width-insensitive on TPU up to 8 columns). Without ids_sorted_fn
+    # the cell id rides bit-exactly as a float bitcast of the SAME width
+    # as the payload dtype (a dtype promotion would convert the value
+    # and destroy the bits).
     fdt = jnp.result_type(pos.dtype, mass.dtype)
     idt = jnp.int64 if fdt == jnp.float64 else jnp.int32
-    parts = [
-        pos,
-        mass[:, None],
-        jax.lax.bitcast_convert_type(ids.astype(idt), fdt)[:, None],
-    ]
+    parts = [pos, mass[:, None]]
+    if ids_sorted_fn is None:
+        parts.append(
+            jax.lax.bitcast_convert_type(ids.astype(idt), fdt)[:, None]
+        )
     if extra is not None:
         parts.append(extra.astype(fdt))
     payload = jnp.concatenate(parts, axis=-1)[order]
     psort = payload[:, :4]
-    sorted_ids = jax.lax.bitcast_convert_type(payload[:, 4], idt).astype(
-        jnp.int32
-    )
-    extra_sorted = payload[:, 5:] if extra is not None else None
+    if ids_sorted_fn is not None:
+        # Monotone clamp — see the docstring: recomputed ids can diverge
+        # from the sort key on f32 rounding-edge rows; the running max
+        # keeps the monotone-dest contract intact for every consumer.
+        sorted_ids = jax.lax.cummax(ids_sorted_fn(psort).astype(jnp.int32))
+        extra_sorted = payload[:, 4:] if extra is not None else None
+    else:
+        sorted_ids = jax.lax.bitcast_convert_type(
+            payload[:, 4], idt
+        ).astype(jnp.int32)
+        extra_sorted = payload[:, 5:] if extra is not None else None
     if with_csort:
         cz = sorted_ids % d
         cyx = sorted_ids // d

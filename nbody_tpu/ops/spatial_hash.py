@@ -328,13 +328,24 @@ def _spatial_hash_tiles_sorted(
     coords = jnp.clip(
         jnp.floor((pos - lo) / cell_size).astype(jnp.int32), 0, d - 1
     )
+
+    def ids_sorted_fn(psort, lo=lo):
+        # same binning as `coords`, on the same bits (8-col payload rule,
+        # build_sorted_grid.ids_sorted_fn)
+        cs = jnp.clip(
+            jnp.floor((psort[:, :3] - lo) / cell_size).astype(jnp.int32),
+            0, d - 1,
+        )
+        return (cs[:, 0] * d + cs[:, 1]) * d + cs[:, 2]
+
     # Light build: the tiles engine needs no per-cell segment index
     # (scripts/profile_r3p.py — the full d³ index + rank gather cost
     # ~15 ms at 1M vs ~2.5 ms for sorted_ranks + searchsorted starts)
     # and no per-row cell coords.
+    wide = extra is not None and extra.shape[-1] + 5 > 8
     grid = build_sorted_grid(
         pos, mass, coords, d, with_cell_start=False, extra=extra,
-        with_csort=False,
+        with_csort=False, ids_sorted_fn=ids_sorted_fn if wide else None,
     )
     acc, _over = tile_near_field(
         pos, mass, coords, lo, jnp.asarray(cell_size, pos.dtype),
@@ -389,7 +400,21 @@ def _spatial_hash_window_sorted(
     coords = jnp.clip(
         jnp.floor((pos - lo) / cell_size).astype(jnp.int32), 0, dims - 1
     )
-    grid = build_sorted_grid(pos, mass, coords, cap, extra=extra)
+
+    def ids_sorted_fn(psort, lo=lo, dims=dims):
+        # same binning as `coords`, on the same bits (8-col payload rule,
+        # build_sorted_grid.ids_sorted_fn)
+        cs = jnp.clip(
+            jnp.floor((psort[:, :3] - lo) / cell_size).astype(jnp.int32),
+            0, dims - 1,
+        )
+        return (cs[:, 0] * cap + cs[:, 1]) * cap + cs[:, 2]
+
+    wide = extra is not None and extra.shape[-1] + 5 > 8
+    grid = build_sorted_grid(
+        pos, mass, coords, cap, extra=extra,
+        ids_sorted_fn=ids_sorted_fn if wide else None,
+    )
     acc, _over = window_sweep(
         grid, d=cap, xy_offsets=xy_ball(1), z_halfwidth=1,
         window=window, block_size=block_size,
@@ -432,6 +457,10 @@ def make_spatial_hash_forces_sorted(
             )
 
     sorted_force_fn.engine_params = p
+    # Integrator payload prefers riding the engine's own sort gather on
+    # the hash engines: −2.3 ms/step at 1M sparse, measured integrated
+    # (scripts/profile_r3w2.py w2 vs w3; Barnes-Hut is the opposite).
+    sorted_force_fn.route_extra = True
     return sorted_force_fn
 
 

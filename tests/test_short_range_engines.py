@@ -385,3 +385,87 @@ def test_sorted_factory_covers_both_hash_engines(key):
             np.asarray(srt.vel), np.asarray(plain.vel),
             rtol=2e-5, atol=2e-6,
         )
+
+
+def test_build_sorted_grid_recomputed_ids(key):
+    """The 8-column payload route (``ids_sorted_fn``): dropping the id
+    column from the sort payload and recomputing sorted ids from sorted
+    positions reproduces the bitcast route exactly when the recompute
+    uses the same binning on the same bits, and a deliberately divergent
+    recompute is clamped monotone (one-cell-late) instead of breaking
+    the engines' non-decreasing-ids contract."""
+    n, d = 500, 8
+    s = init_spherical(key, n, SphericalDistParams(radius=4.0))
+    lo = jnp.min(s.pos, axis=0)
+    cell = jnp.max(jnp.max(s.pos, axis=0) - lo) * 1.00001 / d
+    coords = jnp.clip(((s.pos - lo) / cell).astype(jnp.int32), 0, d - 1)
+    extra = jnp.arange(n * 4, dtype=jnp.float32).reshape(n, 4)
+
+    ref = build_sorted_grid(s.pos, s.mass, coords, d, extra=extra)
+
+    def ids_fn(psort):
+        cs = jnp.clip(
+            ((psort[:, :3] - lo) / cell).astype(jnp.int32), 0, d - 1
+        )
+        return (cs[:, 0] * d + cs[:, 1]) * d + cs[:, 2]
+
+    got = build_sorted_grid(
+        s.pos, s.mass, coords, d, extra=extra, ids_sorted_fn=ids_fn
+    )
+    np.testing.assert_array_equal(np.asarray(got.order), np.asarray(ref.order))
+    np.testing.assert_array_equal(np.asarray(got.psort), np.asarray(ref.psort))
+    np.testing.assert_array_equal(np.asarray(got.extra), np.asarray(ref.extra))
+    np.testing.assert_array_equal(np.asarray(got.ids), np.asarray(ref.ids))
+    assert (np.diff(np.asarray(got.ids)) >= 0).all()
+
+    # Divergent recompute (a row re-bins low, as an f32 rounding-edge
+    # row could): the running max degrades it to one-cell-late, monotone.
+    def bad_ids_fn(psort):
+        return ids_fn(psort).at[n // 2].set(0)
+
+    clamped = build_sorted_grid(
+        s.pos, s.mass, coords, d, extra=extra, ids_sorted_fn=bad_ids_fn
+    )
+    cids = np.asarray(clamped.ids)
+    assert (np.diff(cids) >= 0).all()
+    assert cids[n // 2] == np.asarray(ref.ids)[n // 2 - 1]
+
+
+def test_sorted_multi_step_route_extra_equivalence(key):
+    """route_extra=True (payload rides the engine's internal sort gather,
+    the hash engines' measured preference) is the same physics as the
+    separate payload gather (route_extra=False, Barnes-Hut's preference)."""
+    from nbody_tpu.ops.integrator import (
+        initialize_forces,
+        make_sorted_multi_step,
+    )
+    from nbody_tpu.ops.spatial_hash import (
+        spatial_hash_forces,
+        spatial_hash_forces_window_sorted,
+    )
+
+    n, steps, dt = 600, 3, 1e-3
+    s = init_spherical(key, n, SphericalDistParams(radius=4.0))
+
+    def force(pos, mass):
+        return spatial_hash_forces(
+            pos, mass, 1.0, 0.1, cutoff=1.5, cell_size=1.5, cap=16,
+            window=2048,
+        )
+
+    def sorted_force(pos, mass, extra=None):
+        return spatial_hash_forces_window_sorted(
+            pos, mass, 1.0, 0.1, cutoff=1.5, cell_size=1.5, cap=16,
+            window=2048, block_size=256, extra=extra,
+        )
+
+    st = initialize_forces(s, force)
+    a = make_sorted_multi_step(sorted_force, dt, steps, route_extra=False)(st)
+    b = make_sorted_multi_step(sorted_force, dt, steps, route_extra=True)(st)
+    np.testing.assert_array_equal(np.asarray(a.mass), np.asarray(b.mass))
+    np.testing.assert_allclose(
+        np.asarray(a.pos), np.asarray(b.pos), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.vel), np.asarray(b.vel), rtol=1e-6, atol=1e-7
+    )
