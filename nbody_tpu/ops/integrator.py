@@ -143,13 +143,16 @@ def sorted_verlet_step(
     (scripts/profile_r3w2.py, integrated 1M multi-steps):
 
       * ``route_extra=False`` (default): ONE separate (N, 4) row gather
-        by the returned permutation. Best for Barnes-Hut (the routed
-        form REGRESSES it 7.7 ms/step at 1M — w0 vs w1).
+        by the returned permutation. Measured best for BOTH production
+        engines at 1M (Barnes-Hut +7.7 ms/step through the routed form,
+        r3w2 w0/w1; spatial hash +4.4 ms/step on the real d56/k16
+        engine, profile_r3y y0/y1).
       * ``route_extra=True``: the payload rides the force's INTERNAL
         sort gather as its 4-column ``extra`` (the engine drops its
         cell-id column to stay at the 8-column row-gather width limit,
-        build_sorted_grid's ids_sorted_fn). Best for the hash engines
-        (−2.3 ms/step at 1M sparse — w2 vs w3).
+        build_sorted_grid's ids_sorted_fn). Faster only on small-k
+        configs (d64/k8 toy engine: −2.3 ms/step, r3w2 w2/w3); kept
+        equivalence-tested for engines where it measures ahead.
 
     The int32 tag rides bit-exactly via a bitcast — it is only
     gathered, never computed on. (f32 pipelines only: an f64 payload
@@ -197,13 +200,12 @@ def make_sorted_multi_step(
     N < 2²⁴; larger N falls back to the bitcast step): both half-kicks
     then double as the payload transform — ``vel_tag + ½dt·[acc | 0]``
     touches the tag column only with exact +0.0. ``route_extra`` picks
-    how the payload is re-sorted each step (see ``sorted_verlet_step``:
-    separate gather is best for Barnes-Hut, riding the engine's sort
-    gather best for the hash engines — scripts/profile_r3w2.py).
+    how the payload is re-sorted each step (see ``sorted_verlet_step``;
+    the separate gather measures best for both production engines).
     Bit-identical velocity arithmetic (same op order per component).
     ``route_extra=None`` defers to the force closure's own preference
-    (the ``route_extra`` attribute the engine factories set — hash
-    engines True, Barnes-Hut False), defaulting to the separate gather.
+    (the ``route_extra`` attribute the engine factories set),
+    defaulting to the separate gather.
     """
     if route_extra is None:
         route_extra = bool(getattr(sorted_force_fn, "route_extra", False))

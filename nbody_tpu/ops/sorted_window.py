@@ -129,9 +129,12 @@ def build_sorted_grid(
     (it still interacts with real neighbors through its real position —
     the same error class as the binning's own boundary ties), never a
     dropped or phantom row. Use only where the integrated win is
-    measured: the hash engines gain ~2.3 ms/step at 1M; Barnes-Hut
-    REGRESSES 7.7 ms/step through this route (r3w2 w0−w3) and keeps the
-    bitcast id column + separate payload gather.
+    measured: the d64/k8 toy hash config gained ~2.3 ms/step at 1M
+    (r3w2 w2/w3), but BOTH production engines measure FASTER with the
+    bitcast id column + separate payload gather (Barnes-Hut +7.7
+    ms/step through this route, r3w2 w0/w1; the real d56/k16 hash
+    engine +4.4 ms/step, profile_r3y y0/y1) — so no production factory
+    currently routes through it.
     """
     n = pos.shape[0]
     num_cells = d * d * d

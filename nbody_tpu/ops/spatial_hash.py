@@ -457,10 +457,14 @@ def make_spatial_hash_forces_sorted(
             )
 
     sorted_force_fn.engine_params = p
-    # Integrator payload prefers riding the engine's own sort gather on
-    # the hash engines: −2.3 ms/step at 1M sparse, measured integrated
-    # (scripts/profile_r3w2.py w2 vs w3; Barnes-Hut is the opposite).
-    sorted_force_fn.route_extra = True
+    # Integrator payload uses the separate (N, 4) gather here too: the
+    # routed form's −2.3 ms (scripts/profile_r3w2.py) was measured on a
+    # d=64/k=8 toy config; on the REAL probe-selected engine (d=56,
+    # k=16, 1M sparse) routing REGRESSES 4.4 ms/step
+    # (scripts/profile_r3y.py y0 35.05 vs y1 39.44 ms). Same verdict as
+    # Barnes-Hut. The routed path stays available (route_extra=True)
+    # and equivalence-tested for configs where it measures faster.
+    sorted_force_fn.route_extra = False
     return sorted_force_fn
 
 
