@@ -26,7 +26,11 @@ from nbody_tpu.utils.profiling import (
 
 # Key → action mapping (reference: src/main.cpp:265-305 key callbacks):
 # Space pause/resume, r reset, 1/2/3 force method, c color mode cycle,
-# p panel toggle (F1 in the reference), q/Esc quit.
+# p panel toggle (F1 in the reference), q/Esc quit. The reference's mouse
+# orbit + scroll zoom (main.cpp:307-331) become keyboard camera controls
+# on the headless host: h/l orbit azimuth, j/k orbit elevation, +/- zoom,
+# 0 camera reset — same Camera.rotate/zoom math either way.
+_CAM_STEP = 0.15  # radians per keypress (≈ a 40 px mouse drag)
 KEY_ACTIONS = {
     " ": "toggle_pause",
     "r": "reset",
@@ -35,9 +39,34 @@ KEY_ACTIONS = {
     "3": "method:spatial-hash",
     "c": "cycle_color",
     "p": "toggle_panel",
+    "h": "camera:orbit:-1:0",
+    "l": "camera:orbit:1:0",
+    "j": "camera:orbit:0:-1",
+    "k": "camera:orbit:0:1",
+    "+": "camera:zoom:1",
+    "=": "camera:zoom:1",
+    "-": "camera:zoom:-1",
+    "0": "camera:reset",
     "q": "quit",
     "\x1b": "quit",
 }
+
+
+def apply_camera_action(camera, action: str) -> bool:
+    """Apply a ``camera:...`` action string to a Camera; returns True if
+    the action was a camera action (pure, testable without a TTY —
+    reference analogue: the GLFW cursor/scroll callbacks, main.cpp:307-331).
+    """
+    if camera is None or not action or not action.startswith("camera:"):
+        return False
+    parts = action.split(":")
+    if parts[1] == "orbit":
+        camera.rotate(float(parts[2]) * _CAM_STEP, float(parts[3]) * _CAM_STEP)
+    elif parts[1] == "zoom":
+        camera.zoom(float(parts[2]))
+    elif parts[1] == "reset":
+        camera.reset()
+    return True
 
 
 def key_to_action(key: str):
@@ -185,6 +214,7 @@ class Application:
                 "cell_size": str(o.spatial_hash_cell_size),
                 "cutoff": str(o.spatial_hash_cutoff),
                 "init": o.init_distribution.name.lower(),
+                "devices": str(o.devices),
             },
         )
         record.attach_phase_snapshot(consume_global_phase_snapshot())
@@ -211,6 +241,7 @@ class Application:
         renderer = None
         live_view = None
         stream = None
+        camera = None
         if o.render or o.live:
             from nbody_tpu.render import Camera
             from nbody_tpu.render.stream import PointStream
@@ -265,6 +296,8 @@ class Application:
                         renderer.set_color_mode(color_modes[color_idx])
                     elif action == "toggle_panel":
                         panel.toggle_visibility()
+                    elif action and action.startswith("camera:"):
+                        apply_camera_action(camera, action)
             # consume the panel's flag handshake (reference: main.cpp
             # polls uiPanel state before stepping, main.cpp:195-216)
             if panel.consume_pause_clicked():

@@ -20,7 +20,11 @@ from nbody_tpu.parallel.mesh import (
     sharded_device_count,
 )
 from nbody_tpu.parallel.ring import ring_direct_forces
-from nbody_tpu.parallel.step import make_sharded_step, sharded_energy
+from nbody_tpu.parallel.step import (
+    make_sharded_multi_step,
+    make_sharded_step,
+    sharded_energy,
+)
 from nbody_tpu.parallel.tree import (
     sharded_barnes_hut_forces,
     sharded_spatial_hash_forces,
@@ -31,6 +35,7 @@ __all__ = [
     "shard_state",
     "sharded_device_count",
     "ring_direct_forces",
+    "make_sharded_multi_step",
     "make_sharded_step",
     "sharded_energy",
     "sharded_barnes_hut_forces",

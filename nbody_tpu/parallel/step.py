@@ -4,8 +4,10 @@ Builds the full Velocity Verlet step for a particle-sharded state:
 kinematic updates are local (elementwise over the sharded axis), forces
 come from the ppermute ring (direct), the designed tree/hash paths
 (parallel/tree.py: psum-combined pyramid + slab-routed near field) when
-the grid divides the mesh, or pjit-propagated sharded programs as the
-fallback, and energies reduce with psum.
+the grid divides the mesh, or replicated per-device programs inside
+shard_map as the fallback (NOT pjit propagation — see the GSPMD
+bitcast+gather hazard note in make_sharded_force_fn), and energies
+reduce with psum.
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ from nbody_tpu.types import ForceMethod, SimulationConfig
 
 
 def make_sharded_force_fn(
-    config: SimulationConfig, mesh: Mesh
+    config: SimulationConfig, mesh: Mesh, pos_hint=None
 ) -> Callable:
     """Every branch returns a JITTED closure: a shard_map called outside
     jit falls back to eager per-op dispatch across the mesh (minutes for
@@ -90,10 +92,39 @@ def make_sharded_force_fn(
 
     from nbody_tpu.ops.forces import make_force_fn
 
-    inner = make_force_fn(config)
+    # pos_hint feeds the same data-dependent engine auto-selection the
+    # single-device factory uses (hash window-vs-tiles + grid sizing) —
+    # without it the fallback would resolve DIFFERENT engine params than
+    # an equivalent single-device run. Pulled to host first: the hint is
+    # consumed outside jit by numpy (hash_engine_params).
+    if pos_hint is not None:
+        import numpy as np
+
+        pos_hint = np.asarray(jax.device_get(pos_hint))
+    inner = make_force_fn(config, pos_hint=pos_hint)
+
+    # Fallback: replicated per-device compute inside shard_map — NOT
+    # pjit propagation. The sorted engines ride cell ids through an
+    # int32→f32 bitcast column in the sort payload
+    # (sorted_window.build_sorted_grid), and GSPMD mis-partitions
+    # bitcast+permutation-gather: the column comes back ZEROED on
+    # sharded inputs (jax 0.9.0, minimal repro in
+    # tests/test_parallel.py::test_gspmd_bitcast_gather_hazard) — every
+    # rank collapses and the force is silently wrong. Inside shard_map
+    # each device runs the FULL single-device program locally (manual
+    # SPMD, no partitioner), so results are exact at the cost of
+    # redundant compute — acceptable for the fallback (the designed
+    # slab/psum paths above cover every grid that divides the mesh).
+    rep = shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
 
     def force_fn(pos, mass):
-        acc = inner(pos, mass)
+        acc = rep(pos, mass)
         return jax.lax.with_sharding_constraint(
             acc, jax.sharding.NamedSharding(mesh, P(PARTICLE_AXIS))
         )
@@ -101,13 +132,35 @@ def make_sharded_force_fn(
     return jax.jit(force_fn)
 
 
-def make_sharded_step(config: SimulationConfig, mesh: Mesh):
+def make_sharded_step(config: SimulationConfig, mesh: Mesh, pos_hint=None):
     """Jitted full Verlet step for a sharded ParticleState."""
     from nbody_tpu.ops.integrator import make_verlet_step
 
-    force_fn = make_sharded_force_fn(config, mesh)
+    force_fn = make_sharded_force_fn(config, mesh, pos_hint=pos_hint)
     step = make_verlet_step(force_fn, config.dt)
     return jax.jit(step)
+
+
+def make_sharded_multi_step(
+    config: SimulationConfig, mesh: Mesh, n_steps: int, pos_hint=None
+):
+    """``n_steps`` sharded Verlet steps fused into ONE jitted SPMD program.
+
+    The multi-chip counterpart of ``ops.integrator.make_multi_step``: the
+    whole step loop is a single ``lax.scan`` inside one XLA program over
+    the mesh, so a benchmark/headless run costs one dispatch per chunk
+    instead of one per step (through the TPU tunnel a dispatch is ~250 ms
+    — a per-step sharded loop would be dispatch-bound, the exact failure
+    mode CLAUDE.md documents). All collectives (ppermute ring / psum
+    pyramid / all_to_all slab routing, parallel/tree.py) stay inside the
+    scanned body. Seam analogue in the reference: the benchmark loop
+    around ``ParticleSystem::update`` (src/main.cpp:361-377), which the
+    single-GPU reference never needed to fuse.
+    """
+    from nbody_tpu.ops.integrator import make_multi_step
+
+    force_fn = make_sharded_force_fn(config, mesh, pos_hint=pos_hint)
+    return jax.jit(make_multi_step(force_fn, config.dt, n_steps))
 
 
 def sharded_energy(

@@ -48,22 +48,62 @@ class ParticleSystem:
         self._multi_cache = (0, None)  # (n_steps, jitted multi-step)
         self._paused = False
         self._initialized = False
+        # Multi-device execution (config.shard_devices > 1): the mesh the
+        # particle axis is sharded over, and the LOGICAL particle count
+        # (the state may carry zero-mass padding rows so N divides the
+        # device count — every public accessor reports/slices logical N).
+        self._mesh = None
+        self._n_logical: Optional[int] = None
 
     # ---- lifecycle -------------------------------------------------------
 
     def initialize(self, config: SimulationConfig) -> None:
         """Validate config, build state + strategy, compute initial forces
-        (reference: particle_system.cpp:40-100)."""
+        (reference: particle_system.cpp:40-100). When
+        ``config.shard_devices > 1`` the state is padded to the device
+        count with zero-mass particles (inert: they exert nothing and
+        carry no energy), sharded over a 1-D mesh, and every step/energy
+        path runs SPMD (parallel/step.py) — the multi-chip seam the
+        single-GPU reference never had (its strategy construction,
+        particle_system.cpp:85, is the analogous build point)."""
         validate_config(config)
         from nbody_tpu.errors import validate_resource_requirements
 
         validate_resource_requirements(config.particle_count)
         self._config = config
         state = init_from_config(config)
-        self._rebuild_strategy(pos_hint=state.pos)
-        self._state = initialize_forces(state, self._force_fn)
+        self._install_state(state)
         self._paused = False
         self._initialized = True
+
+    def _install_state(self, state: ParticleState) -> None:
+        """Shard (if configured) + build strategy + compute a(t)."""
+        self._n_logical = state.n
+        if self._config.shard_devices > 1:
+            from nbody_tpu.parallel.mesh import (
+                make_mesh,
+                pad_to_devices,
+                shard_state,
+            )
+
+            self._mesh = make_mesh(self._config.shard_devices)
+            state = pad_to_devices(state, self._config.shard_devices)
+            state = shard_state(state, self._mesh)
+        else:
+            self._mesh = None
+        self._rebuild_strategy(pos_hint=state.pos)
+        self._state = jax.jit(
+            lambda s: initialize_forces(s, self._force_fn)
+        )(state)
+
+    @property
+    def mesh(self):
+        """The device mesh when running sharded, else None."""
+        return self._mesh
+
+    @property
+    def is_sharded(self) -> bool:
+        return self._mesh is not None
 
     def _require_init(self):
         if not self._initialized:
@@ -75,10 +115,18 @@ class ParticleSystem:
         ``pos_hint`` (concrete positions) feeds data-dependent engine
         auto-selection (hash window-vs-tiles); live setters pass the
         current state so ``hash_engine=auto`` re-resolves on rebuild.
+        Sharded systems rebuild the SPMD force/step instead.
         """
         if pos_hint is None and self._state is not None:
             pos_hint = self._state.pos
-        self._force_fn = make_force_fn(self._config, pos_hint=pos_hint)
+        if self._mesh is not None:
+            from nbody_tpu.parallel.step import make_sharded_force_fn
+
+            self._force_fn = make_sharded_force_fn(
+                self._config, self._mesh, pos_hint=pos_hint
+            )
+        else:
+            self._force_fn = make_force_fn(self._config, pos_hint=pos_hint)
         self._step = jax.jit(make_verlet_step(self._force_fn, self._config.dt))
         self._multi_cache = (0, None)
 
@@ -111,25 +159,35 @@ class ParticleSystem:
             return
         with profile_phase("simulation.run_steps"):
             if self._multi_cache[0] != n_steps:
-                from nbody_tpu.ops.forces import make_sorted_force_fn
-                from nbody_tpu.ops.integrator import (
-                    make_multi_step,
-                    make_sorted_multi_step,
-                )
+                if self._mesh is not None:
+                    from nbody_tpu.parallel.step import (
+                        make_sharded_multi_step,
+                    )
 
-                sorted_force = make_sorted_force_fn(
-                    self._config, pos_hint=self._state.pos
-                )
-                multi = (
-                    make_sorted_multi_step(
-                        sorted_force, self._config.dt, n_steps
+                    multi = make_sharded_multi_step(
+                        self._config, self._mesh, n_steps,
+                        pos_hint=self._state.pos,
                     )
-                    if sorted_force is not None
-                    else make_multi_step(
-                        self._force_fn, self._config.dt, n_steps
+                else:
+                    from nbody_tpu.ops.forces import make_sorted_force_fn
+                    from nbody_tpu.ops.integrator import (
+                        make_multi_step,
+                        make_sorted_multi_step,
                     )
-                )
-                self._multi_cache = (n_steps, jax.jit(multi))
+
+                    sorted_force = make_sorted_force_fn(
+                        self._config, pos_hint=self._state.pos
+                    )
+                    multi = jax.jit(
+                        make_sorted_multi_step(
+                            sorted_force, self._config.dt, n_steps
+                        )
+                        if sorted_force is not None
+                        else make_multi_step(
+                            self._force_fn, self._config.dt, n_steps
+                        )
+                    )
+                self._multi_cache = (n_steps, multi)
             self._state = self._multi_cache[1](self._state)
 
     def pause(self) -> None:
@@ -214,8 +272,21 @@ class ParticleSystem:
 
     @property
     def particle_count(self) -> int:
+        """LOGICAL particle count (excludes zero-mass sharding padding)."""
         self._require_init()
-        return self._state.n
+        return self._n_logical if self._n_logical is not None else self._state.n
+
+    def _logical_state(self) -> ParticleState:
+        """State trimmed to the logical particle rows (drops zero-mass
+        sharding padding; a no-op view when running single-device)."""
+        s = self._state
+        n = self.particle_count
+        if s.n == n:
+            return s
+        return ParticleState(
+            pos=s.pos[:n], vel=s.vel[:n], acc=s.acc[:n], mass=s.mass[:n],
+            time=s.time,
+        )
 
     @property
     def simulation_time(self) -> float:
@@ -230,18 +301,18 @@ class ParticleSystem:
 
     def positions(self) -> np.ndarray:
         self._require_init()
-        return np.asarray(self._state.pos)
+        return np.asarray(self._logical_state().pos)
 
     def velocities(self) -> np.ndarray:
         self._require_init()
-        return np.asarray(self._state.vel)
+        return np.asarray(self._logical_state().vel)
 
     # ---- state snapshot / checkpoint (reference: cpp:213-302) -------------
 
     def get_state(self) -> SimulationState:
         self._require_init()
         return SimulationState.from_particle_state(
-            self._state,
+            self._logical_state(),
             dt=self._config.dt,
             G=self._config.G,
             softening=self._config.softening,
@@ -264,9 +335,7 @@ class ParticleSystem:
             force_method=snapshot.force_method,
         )
         validate_config(self._config)
-        self._rebuild_strategy()
-        state = snapshot.to_particle_state()
-        self._state = initialize_forces(state, self._force_fn)
+        self._install_state(snapshot.to_particle_state())
         self._initialized = True
 
     def save_state(self, filename: str) -> None:
@@ -281,10 +350,16 @@ class ParticleSystem:
 
     def compute_kinetic_energy(self) -> float:
         self._require_init()
+        if self._mesh is not None:
+            ke, _ = self._sharded_energy()
+            return ke
         return float(kinetic_energy(self._state))
 
     def compute_potential_energy(self) -> float:
         self._require_init()
+        if self._mesh is not None:
+            _, pe = self._sharded_energy()
+            return pe
         return float(
             potential_energy(
                 self._state.pos,
@@ -294,7 +369,23 @@ class ParticleSystem:
             )
         )
 
+    def _sharded_energy(self) -> tuple:
+        """(KE, PE) via the SPMD ring reduction (parallel/step.py) —
+        zero-mass padding rows carry no energy by construction."""
+        from nbody_tpu.parallel.step import sharded_energy
+
+        ke, pe = sharded_energy(
+            self._state,
+            self._mesh,
+            self._config.G,
+            self._config.softening,
+        )
+        return float(ke), float(pe)
+
     def compute_total_energy(self) -> float:
+        if self._mesh is not None:
+            ke, pe = self._sharded_energy()
+            return ke + pe
         return self.compute_kinetic_energy() + self.compute_potential_energy()
 
     def block_until_ready(self) -> None:
@@ -314,7 +405,14 @@ class ParticleSystem:
         """
         self._require_init()
         cfg = self._config
-        state = self._state
+        # Audit the LOGICAL rows with the single-device engines. On a
+        # sharded system the state is pulled to host arrays first: the
+        # sorted engines are NOT GSPMD-safe (the bitcast+gather hazard,
+        # parallel/step.make_sharded_force_fn) — feeding them sharded
+        # arrays would produce a wrong count.
+        state = self._logical_state()
+        if self._mesh is not None:
+            state = jax.device_get(state)
         out = {"method": cfg.force_method.cli_name, "overflow": 0}
         if cfg.force_method == ForceMethod.SPATIAL_HASH:
             from nbody_tpu.ops.spatial_hash import (
@@ -420,9 +518,12 @@ class ParticleSystem:
         self._require_init()
         from nbody_tpu.errors import STATE_BYTES_PER_PARTICLE
 
-        n = self._state.n
+        n = self.particle_count
         return {
             "particle_count": n,
+            "shard_devices": (
+                self._mesh.devices.size if self._mesh is not None else 1
+            ),
             "force_method": self._config.force_method.cli_name,
             "simulation_time": float(self._state.time),
             "paused": self._paused,

@@ -253,6 +253,26 @@ class TestKeyControls:
         assert key_to_action("\x1b") == "quit"
         assert key_to_action("z") is None
 
+    def test_camera_keys(self):
+        """Live-view camera controls (reference: mouse orbit + scroll
+        zoom, main.cpp:307-331 → h/j/k/l/+/-/0 on the headless host)."""
+        from nbody_tpu.app import apply_camera_action, key_to_action
+        from nbody_tpu.render.camera import Camera
+
+        cam = Camera(distance=50.0, azimuth=0.0, elevation=0.3)
+        assert apply_camera_action(cam, key_to_action("l"))
+        assert cam.azimuth > 0.0
+        assert apply_camera_action(cam, key_to_action("k"))
+        assert cam.elevation > 0.3
+        assert apply_camera_action(cam, key_to_action("+"))
+        assert cam.distance < 50.0
+        assert apply_camera_action(cam, key_to_action("-"))
+        assert apply_camera_action(cam, key_to_action("0"))
+        assert (cam.distance, cam.azimuth, cam.elevation) == (50.0, 0.0, 0.3)
+        # non-camera actions and a missing camera are no-ops
+        assert not apply_camera_action(cam, "reset")
+        assert not apply_camera_action(None, "camera:zoom:1")
+
 
 def test_debug_nans_enables_checking():
     """--debug-nans flips jax_debug_nans before any device work
