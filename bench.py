@@ -112,10 +112,29 @@ def main():
         if os.environ.get("NBODY_BENCH_SORTED") != "0"
         else None
     )
-    if sorted_force is not None:
-        multi = jax.jit(make_sorted_multi_step(sorted_force, config.dt, steps))
-    else:
+    # Amortized re-sort cadence (NBODY_BENCH_RESORT, default 1 = re-sort
+    # every step, the reference's semantics): cadence > 1 takes
+    # frozen-grid steps between re-sorts (make_resort_multi_step) and is
+    # OPT-IN because its accuracy is scene-dependent — on this violent
+    # cold-collapse headline scene ~1.8% of rows change cells after ONE
+    # dt=1e-3 step (99.7% after 16; scripts/profile_r4d.py s0), so
+    # cadence-8 measurably diverges. The headline number stays honest at
+    # cadence 1; use the staleness audit before publishing cadence runs.
+    resort = int(os.environ.get("NBODY_BENCH_RESORT", "1"))
+    if sorted_force is None:
         multi = jax.jit(make_multi_step(force_fn, config.dt, steps))
+    elif (
+        resort > 1
+        and hasattr(sorted_force, "frozen")
+        and n < (1 << 24)
+    ):
+        from nbody_tpu.ops.integrator import make_resort_multi_step
+
+        multi = jax.jit(
+            make_resort_multi_step(sorted_force, config.dt, steps, resort)
+        )
+    else:
+        multi = jax.jit(make_sorted_multi_step(sorted_force, config.dt, steps))
     # warm-up compile; the scalar readback defeats async dispatch layers
     # that under-report on block_until_ready (observed through the axon
     # relay), so timings below include a real device round-trip.

@@ -52,6 +52,7 @@ class AppCliOptions:
     render_output: str = ""
     live: bool = False  # ANSI terminal live view (headless GLFW analogue)
     devices: int = 1
+    resort_every: int = 1  # amortized re-sort cadence (fused runs)
     steps: int = 0  # 0 = run until interrupted (interactive)
     debug_nans: bool = False  # NaN tracing (SURVEY.md §5.2 analogue)
     # Distribution parameters (None = that distribution's default;
@@ -160,6 +161,7 @@ class AppCliOptions:
             hash_engine=self.hash_engine,
             seed=self.seed,
             shard_devices=self.devices,
+            resort_every=self.resort_every,
         )
 
 
@@ -267,6 +269,8 @@ def parse_app_cli_options(argv: List[str]) -> AppCliOptions:
             o.live = True
         elif a == "--devices":
             o.devices = _parse_int(need_value(a), a)
+        elif a == "--resort-every":
+            o.resort_every = _parse_int(need_value(a), a)
         elif a == "--debug-nans":
             o.debug_nans = True
         elif a == "--steps":
@@ -356,6 +360,9 @@ Distribution parameters (scoped to --init; defaults per distribution):
   --max-bounds X,Y,Z     Uniform box upper corner
   --total-mass VALUE     Plummer total mass
   --devices N            Shard particles over N devices (mesh)
+  --resort-every N       Re-derive the cell sort every N fused steps
+                         (1 = every step; >1 amortizes the sort, stale
+                         boundary rows are audited)
   --benchmark            Headless timed run; emits a JSON record
   --benchmark-steps N    Steps per benchmark run
   --benchmark-output P   Benchmark JSON destination file

@@ -119,6 +119,8 @@ def validate_config(config: SimulationConfig) -> None:
         raise ValidationError("bh_max_level must be in [1, 10]")
     if config.shard_devices <= 0:
         raise ValidationError("shard_devices must be positive")
+    if config.resort_every <= 0:
+        raise ValidationError("resort_every must be positive")
 
 
 # Bytes per particle in device state: pos/vel/acc (3×3 f32) + mass (1 f32).

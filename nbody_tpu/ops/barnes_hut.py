@@ -892,9 +892,13 @@ def barnes_hut_forces_sorted(
     multipole_order: int = 2,
     near_impl: str | None = None,
     extra=None,
+    with_grid_meta: bool = False,
 ):
     """Sorted-pipeline BH forces → ``(acc_sorted, psort, order)``, or
-    ``(acc_sorted, psort, order, extra_sorted)`` when ``extra`` is given.
+    ``(acc_sorted, psort, order, extra_sorted)`` when ``extra`` is given;
+    ``with_grid_meta=True`` appends a ``FrozenGridMeta`` (the cached cell
+    assignment) so callers can take FROZEN-GRID steps between re-sorts
+    (``barnes_hut_forces_frozen``).
 
     The same physics as ``barnes_hut_forces`` on the tiles/pallas fast
     path, but every output stays in the engine's internal CELL-SORTED row
@@ -917,7 +921,143 @@ def barnes_hut_forces_sorted(
         levels=levels, window=2048, near_engine="tiles",
         near_k=near_k, multipole_order=multipole_order,
         near_impl=near_impl, sorted_output=True, extra=extra,
+        with_grid_meta=with_grid_meta,
     )
+
+
+def _fused_bh_force_from_grid(
+    grid, lo, cell, *, d, levels, ws, near_k, G, softening, near_impl,
+    sorted_output, rank_sorted=None,
+):
+    """Everything downstream of the cell sort on the fused TPU pipeline:
+    ONE MXU scatter kernel builds the slot tiles AND the finest-level
+    multipole moments (+ exact per-cell counts for the overflow audit)
+    from the same source windows — the separate segment-sum moments pass
+    cost ~10 ms/step at 1M (scripts/profile_r3o.py f1). The far field
+    rides the near sweep: grids computed UNSCALED (G folds in at
+    pickup), laid out plane-major, and each slot seeds its accumulator
+    with the local expansion at its own position inside the Pallas
+    kernel — no separate 19-channel per-particle gather + tensor math
+    stage (17.6 ms at 1M, scripts/profile_r3m.py).
+
+    Split out so FROZEN-GRID steps (``barnes_hut_forces_frozen``) can
+    run it against a cached cell assignment without re-sorting; far taps
+    ride the Pallas VMEM kernel where the lane gate admits it
+    (ops/pallas_far_taps.py — 3.93 vs 4.88 ms XLA at the finest 1M
+    level, rel diff ≤ 7e-6, scripts/profile_r3r.py r3/r4).
+    Returns ``(acc, TileBuild)``.
+    """
+    from nbody_tpu.ops.tile_sweep import tile_build_pallas, tile_sweep_pick
+
+    tb = tile_build_pallas(
+        grid, lo, cell, d=d, k=near_k, impl=near_impl,
+        with_moments=True, rank_sorted=rank_sorted,
+    )
+    packed = tb.moments[:10].T.reshape(d, d, d, 10)
+    pyr = pyramid_from_packed(packed, lo, cell, levels, 2)
+    a_far, j_far, h_far = far_field_grid(
+        pyr, ws, 1.0, softening, levels, impl=near_impl
+    )
+    parts = [a_far, j_far] + ([h_far] if h_far is not None else [])
+    packed_g = jnp.concatenate(parts, axis=-1)  # (d, d, d, C)
+    far_plane = packed_g.reshape(
+        d, d * d, packed_g.shape[-1]
+    ).transpose(0, 2, 1)  # (d, C, d²)
+    acc = tile_sweep_pick(
+        tb, grid, lo, cell,
+        d=d, ws=ws, k=near_k, G=G, eps=softening,
+        impl=near_impl, sorted_output=sorted_output,
+        far_plane=far_plane,
+    )
+    return acc, tb
+
+
+def barnes_hut_forces_frozen(
+    psort,
+    meta,
+    G: float = 1.0,
+    softening: float = 0.1,
+    theta: float = 0.5,
+    *,
+    levels: int = 6,
+    near_k: int = 16,
+    multipole_order: int = 2,
+    near_impl: str | None = None,
+    with_audit: bool = False,
+):
+    """BH forces on a FROZEN cell assignment — the stale-sort step of
+    the amortized re-sort cadence (ops/integrator.make_resort_multi_step).
+
+    ``psort`` is the (N, 4) [x, y, z, mass] rows in the LAST re-sort's
+    row order; ``meta`` is the ``FrozenGridMeta`` that re-sort returned
+    (``barnes_hut_forces_sorted(..., with_grid_meta=True)``). The full
+    fused pipeline (tiles+moments scatter → pyramid → far grids → sweep
+    → pickup) runs against the CURRENT positions with the CACHED cell
+    assignment; the per-step argsort + payload gather (8.8 ms at 1M) and
+    the rank cummax never happen. Rows that drifted across a cell
+    boundary since the re-sort are evaluated with their old assignment —
+    their position is exact, only the near-window center / expansion
+    cell is one cell stale (the same error class as the binning's own
+    f32 boundary ties, build_sorted_grid docstring). ``with_audit=True``
+    additionally returns the count of stale assignments so callers can
+    bound the cadence. The reference has no counterpart (it re-sorts
+    every step, force_barnes_hut.cu:276-280).
+
+    Returns ``acc_sorted`` (same row order as ``psort``), or
+    ``(acc_sorted, n_stale)`` with audit.
+    """
+    if near_impl is None:
+        near_impl = resolve_impl("NBODY_PALLAS_NEAR")
+    if near_impl == "xla":
+        near_impl = "pallas_interpret"
+    return _barnes_hut_frozen(
+        psort, meta, G, softening, theta,
+        levels=levels, near_k=near_k,
+        multipole_order=multipole_order, near_impl=near_impl,
+        with_audit=with_audit,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "G", "softening", "theta", "levels", "near_k",
+        "multipole_order", "near_impl", "with_audit",
+    ),
+)
+def _barnes_hut_frozen(
+    psort, meta, G, softening, theta, *, levels, near_k,
+    multipole_order, near_impl, with_audit,
+):
+    from nbody_tpu.ops.sorted_window import SortedGrid
+    from nbody_tpu.ops.tile_sweep import tile_engine_fused
+
+    d = 1 << levels
+    if not (
+        tile_engine_fused(d, near_k, near_impl) and multipole_order >= 2
+    ):
+        raise ValueError(
+            "frozen-grid stepping requires the fused tiles path "
+            f"(levels={levels}, near_k={near_k}, near_impl={near_impl!r})"
+        )
+    ws = theta_to_ws(theta, order=multipole_order)
+    grid = SortedGrid(
+        order=meta.ids,  # unused under sorted_output=True (placeholder)
+        psort=psort, csort=None, ids=meta.ids, cell_start=None,
+    )
+    acc, _tb = _fused_bh_force_from_grid(
+        grid, meta.lo, meta.cell,
+        d=d, levels=levels, ws=ws, near_k=near_k,
+        G=G, softening=softening, near_impl=near_impl,
+        sorted_output=True, rank_sorted=meta.rank,
+    )
+    if not with_audit:
+        return acc
+    cs = jnp.clip(
+        ((psort[:, :3] - meta.lo) / meta.cell).astype(jnp.int32), 0, d - 1
+    )
+    ids_now = (cs[:, 0] * d + cs[:, 1]) * d + cs[:, 2]
+    return acc, jnp.sum((ids_now != meta.ids).astype(jnp.int32))
 
 
 @functools.partial(
@@ -933,6 +1073,7 @@ def barnes_hut_forces_sorted(
         "multipole_order",
         "near_impl",
         "sorted_output",
+        "with_grid_meta",
     ),
 )
 def _barnes_hut_forces(
@@ -950,6 +1091,7 @@ def _barnes_hut_forces(
     near_impl: str,
     sorted_output: bool = False,
     extra=None,
+    with_grid_meta: bool = False,
 ):
     ws = theta_to_ws(theta, order=multipole_order)
     d_fine = 1 << levels
@@ -985,6 +1127,12 @@ def _barnes_hut_forces(
         )
 
         fused = tile_engine_fused(d, near_k, near_impl) and multipole_order >= 2
+        if with_grid_meta and not fused:
+            raise ValueError(
+                "with_grid_meta (frozen-grid stepping) requires the fused "
+                f"tiles path (levels={levels}, near_k={near_k}, "
+                f"near_impl={near_impl!r}, multipole_order={multipole_order})"
+            )
         # LIGHT grid build: the tiles engine never indexes per-cell
         # segments — ranks come from one sorted-ids cummax and chunk
         # starts from a few thousand searchsorted queries. The full d³
@@ -1013,52 +1161,43 @@ def _barnes_hut_forces(
             with_cell_start=False,
             extra=extra,
             with_csort=not fused,
-            ids_sorted_fn=ids_sorted_fn if wide else None,
+            ids_sorted_fn=(
+                ids_sorted_fn if wide and not with_grid_meta else None
+            ),
+            # Meta producers must NOT carry ids as an f32 bitcast column:
+            # the TPU backend denormal-flushes it to zero once an int32
+            # gather with the same indices coexists in the program
+            # (rank collapsed to arange at 1M — scripts/profile_r4c.py
+            # a1/a4; mechanism note in build_sorted_grid's docstring).
+            # The int gather (~3 ms/re-sort) is the single source of
+            # truth for ids, rank, chunk starts, placement, and pickup.
+            ids_via_gather=with_grid_meta,
         )
         ids_sorted = grid.ids
 
         if fused:
-            # Fully fused TPU pipeline: ONE MXU scatter kernel builds the
-            # slot tiles AND the finest-level multipole moments (+ exact
-            # per-cell counts for the overflow audit) from the same
-            # source windows — the separate segment-sum moments pass
-            # cost ~10 ms/step at 1M (scripts/profile_r3o.py f1). The
-            # far field rides the near sweep: grids computed UNSCALED
-            # (G folds in at pickup), laid out plane-major, and each
-            # slot seeds its accumulator with the local expansion at
-            # its own position inside the Pallas kernel — no separate
-            # 19-channel per-particle gather + tensor math stage
-            # (17.6 ms at 1M, scripts/profile_r3m.py).
-            tb = tile_build_pallas(
-                grid, lo, cell, d=d, k=near_k, impl=near_impl,
-                with_moments=True,
-            )
-            packed = tb.moments[:10].T.reshape(d, d, d, 10)
-            pyr = pyramid_from_packed(packed, lo, cell, levels, 2)
-            # Far taps ride the Pallas VMEM kernel where the lane gate
-            # admits it (ops/pallas_far_taps.py): measured 3.93 vs
-            # 4.88 ms for the XLA scan at the finest 1M level, rel diff
-            # ≤ 7e-6 (scripts/profile_r3r.py r3/r4).
-            a_far, j_far, h_far = far_field_grid(
-                pyr, ws, 1.0, softening, levels, impl=near_impl
-            )
-            parts = [a_far, j_far] + (
-                [h_far] if h_far is not None else []
-            )
-            packed_g = jnp.concatenate(parts, axis=-1)  # (d, d, d, C)
-            far_plane = packed_g.reshape(
-                d, d * d, packed_g.shape[-1]
-            ).transpose(0, 2, 1)  # (d, C, d²)
-            acc = tile_sweep_pick(
-                tb, grid, lo, cell,
-                d=d, ws=ws, k=near_k, G=G, eps=softening,
-                impl=near_impl, sorted_output=sorted_output,
-                far_plane=far_plane,
+            acc, tb = _fused_bh_force_from_grid(
+                grid, lo, cell,
+                d=d, levels=levels, ws=ws, near_k=near_k,
+                G=G, softening=softening, near_impl=near_impl,
+                sorted_output=sorted_output,
             )
             if sorted_output:
+                out = [acc, grid.psort, grid.order]
                 if extra is not None:
-                    return acc, grid.psort, grid.order, grid.extra
-                return acc, grid.psort, grid.order
+                    out.append(grid.extra)
+                if with_grid_meta:
+                    from nbody_tpu.ops.sorted_window import FrozenGridMeta
+
+                    # grid.ids is already int32-native here
+                    # (ids_via_gather above), so the meta shares the
+                    # engine's own ids/rank — frozen(fresh meta) is the
+                    # SAME pipeline bit for bit.
+                    out.append(FrozenGridMeta(
+                        ids=grid.ids, rank=tb.rank_sorted,
+                        lo=lo, cell=cell,
+                    ))
+                return tuple(out)
             return acc
 
         from nbody_tpu.ops.tile_sweep import tile_near_field
@@ -1249,6 +1388,28 @@ def make_barnes_hut_forces_sorted(config: SimulationConfig):
     # gather than with extra riding the engine sort (+7.7 ms/step at 1M
     # through the routed form — scripts/profile_r3w2.py w0 vs w1).
     sorted_force_fn.route_extra = False
+
+    # Frozen-grid contract (ops/integrator.make_resort_multi_step):
+    # with_meta returns the cached cell assignment alongside the sorted
+    # outputs; frozen re-evaluates forces against it without re-sorting.
+    def with_meta(pos, mass):
+        return _barnes_hut_forces(
+            pos, mass, G, eps, theta,
+            levels=p["levels"], window=p["window"], near_engine="tiles",
+            near_k=p["near_k"], multipole_order=p["multipole_order"],
+            near_impl=near_impl, sorted_output=True, with_grid_meta=True,
+        )
+
+    def frozen(psort, meta, with_audit=False):
+        return _barnes_hut_frozen(
+            psort, meta, G, eps, theta,
+            levels=p["levels"], near_k=p["near_k"],
+            multipole_order=p["multipole_order"], near_impl=near_impl,
+            with_audit=with_audit,
+        )
+
+    sorted_force_fn.with_meta = with_meta
+    sorted_force_fn.frozen = frozen
     return sorted_force_fn
 
 

@@ -254,6 +254,131 @@ def make_sorted_multi_step(
     return multi
 
 
+def make_resort_multi_step(
+    sorted_force_fn: SortedForceFn, dt: float, n_steps: int,
+    resort_every: int,
+):
+    """``n_steps`` Verlet steps with the cell RE-SORT amortized over
+    ``resort_every`` steps — one fused XLA program.
+
+    When per-step motion is ≪ one cell, re-deriving the cell assignment
+    every step (argsort + payload gather, ~12 ms/step at 1M between the
+    engine sort and the integrator payload) mostly recomputes the
+    identity. Steps are grouped into chunks of ``resort_every``: the
+    chunk's FIRST step runs the full sorted pipeline
+    (``sorted_force_fn.with_meta`` — re-sort + cached
+    ``FrozenGridMeta``), the remaining steps run the engine's FROZEN
+    form (``sorted_force_fn.frozen``) against that cached assignment —
+    no sort, no payload gather, no rank pass. With a fresh meta the
+    frozen pipeline is the SAME pipeline (bit-identical at 1M on
+    hardware — scripts/profile_r4d.py a2); between re-sorts,
+    boundary-crossing rows keep exact positions/masses but a stale
+    near-window center and expansion cell, so cadence accuracy is
+    SCENE-DEPENDENT: bound it with ``frozen(..., with_audit=True)``
+    staleness counts before trusting ``resort_every > 1`` on a new
+    scene (the violent 1M cold-collapse bench crosses ~1.8% of cells
+    per dt=1e-3 step — cadence > 1 is NOT appropriate there,
+    profile_r4d.py s0/a0). ``resort_every=1`` is exactly
+    ``make_sorted_multi_step`` semantics. The reference re-sorts every
+    step (Thrust, force_barnes_hut.cu:276-280) — the cadence is a
+    TPU-build extension.
+
+    Requires the engine's frozen contract (``with_meta``/``frozen``
+    attributes — BH tiles and hash tiles factories) and the packed
+    exact-float tag (N < 2²⁴ — callers at larger N use
+    ``make_sorted_multi_step``).
+
+    Returns ``multi(state: ParticleState) -> ParticleState`` (original
+    row order in and out, as make_sorted_multi_step).
+    """
+    if resort_every < 1:
+        raise ValueError("resort_every must be >= 1")
+    with_meta = getattr(sorted_force_fn, "with_meta", None)
+    frozen = getattr(sorted_force_fn, "frozen", None)
+    if with_meta is None or frozen is None:
+        raise ValueError(
+            "sorted_force_fn has no frozen-grid contract "
+            "(with_meta/frozen attributes) — use make_sorted_multi_step"
+        )
+    n_f32_exact = 1 << 24
+
+    def pad4(a):
+        return jnp.pad(a, ((0, 0), (0, 1)))
+
+    def sorted_step(c):
+        """Full re-sort step: identical arithmetic to
+        make_sorted_multi_step.body_packed, plus the cached meta out."""
+        pos, vel_tag, acc, mass, t = c
+        dtc = jnp.asarray(dt, pos.dtype)
+        pos_d = pos + vel_tag[:, :3] * dtc + (0.5 * dtc * dtc) * acc
+        pay = vel_tag + (0.5 * dtc) * pad4(acc)
+        acc_s, psort, order, meta = with_meta(pos_d, mass)
+        pay = pay[order]
+        vel_tag_n = pay + (0.5 * dtc) * pad4(acc_s)
+        return (psort, vel_tag_n, acc_s, t + dtc), meta
+
+    def frozen_step(fc, meta):
+        """Stale-sort step: rows stay put — no permutation, no gather."""
+        psort, vel_tag, acc, t = fc
+        dtc = jnp.asarray(dt, psort.dtype)
+        pos_d = (
+            psort[:, :3] + vel_tag[:, :3] * dtc + (0.5 * dtc * dtc) * acc
+        )
+        psort_d = jnp.concatenate([pos_d, psort[:, 3:4]], axis=-1)
+        # same two-half-kick op order as the sorted step (bit-identical
+        # velocity arithmetic across cadences)
+        pay = vel_tag + (0.5 * dtc) * pad4(acc)
+        acc_n = frozen(psort_d, meta)
+        vel_tag_n = pay + (0.5 * dtc) * pad4(acc_n)
+        return (psort_d, vel_tag_n, acc_n, t + dtc)
+
+    def chunk(c, length):
+        (psort, vel_tag, acc, t), meta = sorted_step(c)
+
+        def fbody(fc, _):
+            return frozen_step(fc, meta), None
+
+        (psort, vel_tag, acc, t), _ = jax.lax.scan(
+            fbody, (psort, vel_tag, acc, t), None, length=length - 1
+        )
+        mass = psort[:, 3]
+        return (psort[:, :3], vel_tag, acc, mass, t)
+
+    n_chunks, rem = divmod(n_steps, resort_every)
+
+    def multi(state: ParticleState) -> ParticleState:
+        n = state.pos.shape[0]
+        if n >= n_f32_exact:
+            raise ValueError(
+                "make_resort_multi_step requires N < 2^24 (exact float "
+                "row tags); use make_sorted_multi_step"
+            )
+        tagf = jnp.arange(n, dtype=state.pos.dtype)[:, None]
+        c = (
+            state.pos,
+            jnp.concatenate([state.vel, tagf], axis=-1),
+            state.acc,
+            state.mass,
+            state.time,
+        )
+        if n_chunks > 0:
+
+            def body(cc, _):
+                return chunk(cc, resort_every), None
+
+            c, _ = jax.lax.scan(body, c, None, length=n_chunks)
+        if rem:
+            c = chunk(c, rem)
+        pos, vel_tag, acc, mass, t = c
+        inv = jnp.argsort(vel_tag[:, 3].astype(jnp.int32))
+        return ParticleState(
+            pos=pos[inv], vel=vel_tag[inv, :3], acc=acc[inv],
+            mass=mass[inv], time=t,
+        )
+
+    return multi
+
+
 # ---------------------------------------------------------------------------
 # Energy observability (reference: integrator.cu:252-289)
 # ---------------------------------------------------------------------------

@@ -68,6 +68,54 @@ class SortedGrid:
     extra: jax.Array | None = None
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FrozenGridMeta:
+    """Everything a cell-sorted engine derives from its sort, cached so
+    FROZEN-GRID steps (ops/integrator.make_resort_multi_step) can skip
+    the per-step argsort + payload gather entirely.
+
+    When per-step motion is ≪ one cell, the cell sort is near-identity
+    across consecutive steps and re-deriving it (argsort 8.8 ms at 1M +
+    payload gather) is wasted work. A frozen step reuses the LAST
+    re-sort's cell assignment: positions/masses are exact, only the
+    cell MEMBERSHIP of boundary-crossing rows is stale, so the error is
+    scene-dependent — audit it per scene (the violent 1M cold-collapse
+    bench crosses ~1.8% of cells per dt=1e-3 step and wants cadence 1;
+    scripts/profile_r4d.py s0). The reference re-sorts every step
+    (Thrust, force_barnes_hut.cu:276-280); the amortized cadence is a
+    TPU-build extension.
+
+    Registered as a pytree so it can ride ``lax.scan`` carries.
+
+    PRODUCERS BEWARE: the producing program must not carry sorted ids as
+    an f32-bitcast payload column AT ALL — build its grid with
+    ``build_sorted_grid(..., ids_via_gather=True)``. Small int bit
+    patterns are f32 DENORMALS under the bitcast and the TPU backend
+    flushes them to zero, both when that column is output from a jit
+    (fetched all-zero, scripts/profile_r4b.py v0 pre-fix) and when an
+    int32 gather with the same index operand merely coexists in the
+    program (the gathers unify and even IN-PROGRAM consumers read zeros:
+    rank collapsed to arange at 1M, scripts/profile_r4c.py a1/a4; the
+    related GSPMD reshard flush is pinned in tests/test_parallel.py).
+
+    ids:        (N,) i32 non-decreasing linear cell ids (sorted order)
+    rank:       (N,) i32 rank within the cell run (frozen with ids)
+    lo:         (3,) grid origin AT THE LAST RE-SORT (frozen binning)
+    cell:       (3,) or scalar cell size
+    cell_start: (C+1,) i32 per-cell segment index, or None (only the
+                window engine consumes it; derived from ids — frozen)
+    csort:      (N, 3) i32 per-row cell coords, or None (window engine)
+    """
+
+    ids: jax.Array
+    rank: jax.Array
+    lo: jax.Array
+    cell: jax.Array
+    cell_start: jax.Array | None = None
+    csort: jax.Array | None = None
+
+
 def unsort_rows(rows_sorted: jax.Array, order: jax.Array) -> jax.Array:
     """Undo a sort permutation on row data — as a GATHER, not a scatter.
 
@@ -88,6 +136,7 @@ def build_sorted_grid(
     extra: jax.Array | None = None,
     with_csort: bool = True,
     ids_sorted_fn=None,
+    ids_via_gather: bool = False,
 ) -> SortedGrid:
     """Counting sort by cell id (the XLA form of the reference's histogram +
     exclusive_scan + scatter pipeline, force_spatial_hash.cu:52-80).
@@ -135,6 +184,20 @@ def build_sorted_grid(
     ms/step through this route, r3w2 w0/w1; the real d56/k16 hash
     engine +4.4 ms/step, profile_r3y y0/y1) — so no production factory
     currently routes through it.
+
+    ``ids_via_gather=True`` — drop the bitcast column and take the
+    sorted ids from an INDEPENDENT int32 gather ``ids[order]`` instead
+    (bit-exact, no monotone clamp needed, ~3 ms at 1M). REQUIRED for any
+    caller that materializes the sorted ids beyond this program's
+    internal dataflow (FrozenGridMeta producers): small int bit patterns
+    are f32 DENORMALS under the bitcast, and the TPU backend flushes
+    them — measured BOTH when the bitcast column is output from a jit
+    (fetched all-zero, scripts/profile_r4b.py v0 pre-fix) AND, worse,
+    when an int32 gather with the same index operand merely COEXISTS in
+    the program (the compiler unifies the gathers and the in-program
+    bitcast ids read back zero: rank collapsed to arange at 1M,
+    scripts/profile_r4c.py a1/a4). The int gather as the single source
+    of truth makes the hazard structurally absent.
     """
     n = pos.shape[0]
     num_cells = d * d * d
@@ -150,7 +213,7 @@ def build_sorted_grid(
     fdt = jnp.result_type(pos.dtype, mass.dtype)
     idt = jnp.int64 if fdt == jnp.float64 else jnp.int32
     parts = [pos, mass[:, None]]
-    if ids_sorted_fn is None:
+    if ids_sorted_fn is None and not ids_via_gather:
         parts.append(
             jax.lax.bitcast_convert_type(ids.astype(idt), fdt)[:, None]
         )
@@ -158,7 +221,12 @@ def build_sorted_grid(
         parts.append(extra.astype(fdt))
     payload = jnp.concatenate(parts, axis=-1)[order]
     psort = payload[:, :4]
-    if ids_sorted_fn is not None:
+    if ids_via_gather:
+        # Single int32-native source of truth — see the docstring's
+        # denormal-flush hazard note.
+        sorted_ids = ids[order]
+        extra_sorted = payload[:, 4:] if extra is not None else None
+    elif ids_sorted_fn is not None:
         # Monotone clamp — see the docstring: recomputed ids can diverge
         # from the sort key on f32 rounding-edge rows; the running max
         # keeps the monotone-dest contract intact for every consumer.

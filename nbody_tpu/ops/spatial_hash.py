@@ -289,12 +289,14 @@ def _spatial_hash_forces_tiles(
 def spatial_hash_forces_tiles_sorted(
     pos, mass, G=1.0, softening=0.1, *,
     cutoff=2.0, cell_size=1.0, d=64, k=8, build_window=None, impl=None,
-    extra=None,
+    extra=None, with_grid_meta=False,
 ):
     """Sorted-pipeline hash-tiles forces → ``(acc_sorted, psort, order)``,
     or ``(acc_sorted, psort, order, extra_sorted)`` when ``extra`` (N, E)
     f32 payload rides the engine's sort gather (free: width-insensitive
-    row gathers).
+    row gathers); ``with_grid_meta=True`` appends a ``FrozenGridMeta``
+    so callers can take FROZEN-GRID steps between re-sorts
+    (``spatial_hash_forces_tiles_frozen``).
 
     The same physics as ``spatial_hash_forces_tiles`` but outputs stay in
     the engine's internal CELL-SORTED row order (the contract of
@@ -306,23 +308,31 @@ def spatial_hash_forces_tiles_sorted(
         from nbody_tpu.ops.barnes_hut import resolve_impl
 
         impl = resolve_impl("NBODY_PALLAS_NEAR")
+    if impl == "xla" and with_grid_meta:
+        impl = "pallas_interpret"
     return _spatial_hash_tiles_sorted(
         pos, mass, G, softening, cutoff=cutoff, cell_size=cell_size,
         d=d, k=k, build_window=build_window, impl=impl, extra=extra,
+        with_grid_meta=with_grid_meta,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("G", "softening", "cutoff", "cell_size", "d", "k",
-                     "build_window", "impl"),
+                     "build_window", "impl", "with_grid_meta"),
 )
 def _spatial_hash_tiles_sorted(
     pos, mass, G, softening, *, cutoff, cell_size, d, k, build_window, impl,
-    extra=None,
+    extra=None, with_grid_meta=False,
 ):
-    from nbody_tpu.ops.sorted_window import build_sorted_grid
-    from nbody_tpu.ops.tile_sweep import tile_near_field
+    from nbody_tpu.ops.sorted_window import FrozenGridMeta, build_sorted_grid
+    from nbody_tpu.ops.tile_sweep import (
+        tile_build_pallas,
+        tile_engine_fused,
+        tile_near_field,
+        tile_sweep_pick,
+    )
 
     lo = jnp.min(pos, axis=0)
     coords = jnp.clip(
@@ -345,8 +355,42 @@ def _spatial_hash_tiles_sorted(
     wide = extra is not None and extra.shape[-1] + 5 > 8
     grid = build_sorted_grid(
         pos, mass, coords, d, with_cell_start=False, extra=extra,
-        with_csort=False, ids_sorted_fn=ids_sorted_fn if wide else None,
+        with_csort=False,
+        ids_sorted_fn=ids_sorted_fn if wide and not with_grid_meta else None,
+        # Meta producers must not carry ids as an f32 bitcast column —
+        # TPU denormal-flush hazard, see build_sorted_grid's docstring
+        # and ops/barnes_hut._barnes_hut_forces (scripts/profile_r4c.py).
+        ids_via_gather=with_grid_meta,
     )
+    if with_grid_meta:
+        # Frozen-grid contract needs the build's rank — run the two fused
+        # phases directly (the same calls tile_near_field makes on the
+        # Pallas fast path, which this contract requires).
+        if not tile_engine_fused(d, k, impl):
+            raise ValueError(
+                "with_grid_meta (frozen-grid stepping) requires the fused "
+                f"tiles path (d={d}, k={k}, impl={impl!r})"
+            )
+        cell = jnp.asarray(cell_size, pos.dtype)
+        tb = tile_build_pallas(
+            grid, lo, cell, d=d, k=k, impl=impl, build_window=build_window,
+        )
+        acc = tile_sweep_pick(
+            tb, grid, lo, cell, d=d, ws=1, k=k, G=G, eps=softening,
+            impl=impl, sorted_output=True,
+            cutoff2=float(cutoff) * float(cutoff),
+        )
+        # grid.ids is int32-native here (ids_via_gather above): the meta
+        # shares the engine's own ids/rank — frozen(fresh meta) is the
+        # same pipeline bit for bit.
+        meta = FrozenGridMeta(
+            ids=grid.ids, rank=tb.rank_sorted, lo=lo, cell=cell,
+        )
+        out = [acc, grid.psort, grid.order]
+        if extra is not None:
+            out.append(grid.extra)
+        out.append(meta)
+        return tuple(out)
     acc, _over = tile_near_field(
         pos, mass, coords, lo, jnp.asarray(cell_size, pos.dtype),
         d=d, ws=1, k=k, G=G, eps=softening, grid=grid, impl=impl,
@@ -356,6 +400,76 @@ def _spatial_hash_tiles_sorted(
     if extra is not None:
         return acc, grid.psort, grid.order, grid.extra
     return acc, grid.psort, grid.order
+
+
+def spatial_hash_forces_tiles_frozen(
+    psort, meta, G=1.0, softening=0.1, *,
+    cutoff=2.0, cell_size=1.0, d=64, k=8, build_window=None, impl=None,
+    with_audit=False,
+):
+    """Hash-tiles forces on a FROZEN cell assignment — the stale-sort
+    step of the amortized re-sort cadence (see
+    ops/barnes_hut.barnes_hut_forces_frozen for the contract and error
+    class; ops/integrator.make_resort_multi_step for the stepping loop).
+    ``psort`` (N, 4) rows in the last re-sort's order, ``meta`` from
+    ``spatial_hash_forces_tiles_sorted(..., with_grid_meta=True)``.
+    Returns ``acc_sorted`` or ``(acc_sorted, n_stale)``.
+    """
+    if impl is None:
+        from nbody_tpu.ops.barnes_hut import resolve_impl
+
+        impl = resolve_impl("NBODY_PALLAS_NEAR")
+    if impl == "xla":
+        impl = "pallas_interpret"
+    return _spatial_hash_tiles_frozen(
+        psort, meta, G, softening, cutoff=cutoff, cell_size=cell_size,
+        d=d, k=k, build_window=build_window, impl=impl,
+        with_audit=with_audit,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("G", "softening", "cutoff", "cell_size", "d", "k",
+                     "build_window", "impl", "with_audit"),
+)
+def _spatial_hash_tiles_frozen(
+    psort, meta, G, softening, *, cutoff, cell_size, d, k, build_window,
+    impl, with_audit,
+):
+    from nbody_tpu.ops.sorted_window import SortedGrid
+    from nbody_tpu.ops.tile_sweep import (
+        tile_build_pallas,
+        tile_engine_fused,
+        tile_sweep_pick,
+    )
+
+    if not tile_engine_fused(d, k, impl):
+        raise ValueError(
+            "frozen-grid stepping requires the fused tiles path "
+            f"(d={d}, k={k}, impl={impl!r})"
+        )
+    grid = SortedGrid(
+        order=meta.ids,  # unused under sorted_output=True (placeholder)
+        psort=psort, csort=None, ids=meta.ids, cell_start=None,
+    )
+    tb = tile_build_pallas(
+        grid, meta.lo, meta.cell, d=d, k=k, impl=impl,
+        build_window=build_window, rank_sorted=meta.rank,
+    )
+    acc = tile_sweep_pick(
+        tb, grid, meta.lo, meta.cell, d=d, ws=1, k=k, G=G, eps=softening,
+        impl=impl, sorted_output=True,
+        cutoff2=float(cutoff) * float(cutoff),
+    )
+    if not with_audit:
+        return acc
+    cs = jnp.clip(
+        jnp.floor((psort[:, :3] - meta.lo) / cell_size).astype(jnp.int32),
+        0, d - 1,
+    )
+    ids_now = (cs[:, 0] * d + cs[:, 1]) * d + cs[:, 2]
+    return acc, jnp.sum((ids_now != meta.ids).astype(jnp.int32))
 
 
 def spatial_hash_forces_window_sorted(
@@ -445,6 +559,33 @@ def make_spatial_hash_forces_sorted(
                 pos, mass, G, eps, cutoff=cutoff, cell_size=cell,
                 d=tile_d, k=tile_k, build_window=bw, extra=extra,
             )
+
+        # Frozen-grid contract (ops/integrator.make_resort_multi_step)
+        # — only on the fused tiles path.
+        from nbody_tpu.ops.barnes_hut import resolve_impl
+        from nbody_tpu.ops.tile_sweep import tile_engine_fused
+
+        impl = resolve_impl("NBODY_PALLAS_NEAR")
+        if impl == "xla":
+            impl = "pallas_interpret"
+        if tile_engine_fused(tile_d, tile_k, impl):
+
+            def with_meta(pos, mass):
+                return spatial_hash_forces_tiles_sorted(
+                    pos, mass, G, eps, cutoff=cutoff, cell_size=cell,
+                    d=tile_d, k=tile_k, build_window=bw,
+                    with_grid_meta=True, impl=impl,
+                )
+
+            def frozen(psort, meta, with_audit=False):
+                return _spatial_hash_tiles_frozen(
+                    psort, meta, G, eps, cutoff=cutoff, cell_size=cell,
+                    d=tile_d, k=tile_k, build_window=bw, impl=impl,
+                    with_audit=with_audit,
+                )
+
+            sorted_force_fn.with_meta = with_meta
+            sorted_force_fn.frozen = frozen
 
     else:
         cap = config.hash_max_grid_dim

@@ -83,6 +83,7 @@ def tile_build_pallas(
     impl: str,
     build_window: int | None = None,
     with_moments: bool = False,
+    rank_sorted: jax.Array | None = None,
 ) -> TileBuild:
     """Build the plane-major slot tiles from a cell-sorted grid via the
     MXU one-hot scatter — the build phase of the fused Pallas near-field
@@ -103,14 +104,18 @@ def tile_build_pallas(
     n = grid.psort.shape[0]
     num_cells = d * d * d
     ids_sorted = grid.ids
-    if grid.cell_start is not None:
-        rank_sorted = (
-            jnp.arange(n, dtype=jnp.int32) - grid.cell_start[ids_sorted]
-        )
-    else:
-        from nbody_tpu.ops.sorted_window import sorted_ranks
+    # rank_sorted may be passed in by FROZEN-GRID callers (it only
+    # depends on the sorted ids, which are frozen between re-sorts —
+    # ops/sorted_window.FrozenGridMeta): skips the 1M-row cummax.
+    if rank_sorted is None:
+        if grid.cell_start is not None:
+            rank_sorted = (
+                jnp.arange(n, dtype=jnp.int32) - grid.cell_start[ids_sorted]
+            )
+        else:
+            from nbody_tpu.ops.sorted_window import sorted_ranks
 
-        rank_sorted = sorted_ranks(ids_sorted)
+            rank_sorted = sorted_ranks(ids_sorted)
 
     _interp = impl == "pallas_interpret"
     g = 128 // math.gcd(d * k, 128)

@@ -172,21 +172,36 @@ class ParticleSystem:
                     from nbody_tpu.ops.forces import make_sorted_force_fn
                     from nbody_tpu.ops.integrator import (
                         make_multi_step,
+                        make_resort_multi_step,
                         make_sorted_multi_step,
                     )
 
                     sorted_force = make_sorted_force_fn(
                         self._config, pos_hint=self._state.pos
                     )
-                    multi = jax.jit(
-                        make_sorted_multi_step(
-                            sorted_force, self._config.dt, n_steps
-                        )
-                        if sorted_force is not None
-                        else make_multi_step(
+                    cadence = self._config.resort_every
+                    if sorted_force is None:
+                        multi = make_multi_step(
                             self._force_fn, self._config.dt, n_steps
                         )
-                    )
+                    elif (
+                        cadence > 1
+                        and hasattr(sorted_force, "frozen")
+                        and self._state.n < (1 << 24)
+                    ):
+                        # Amortized re-sort: frozen-grid steps between
+                        # re-sorts (ops/integrator.make_resort_multi_step;
+                        # falls back to every-step sorting when the engine
+                        # has no frozen contract or N overflows the exact
+                        # float row tag).
+                        multi = make_resort_multi_step(
+                            sorted_force, self._config.dt, n_steps, cadence
+                        )
+                    else:
+                        multi = make_sorted_multi_step(
+                            sorted_force, self._config.dt, n_steps
+                        )
+                    multi = jax.jit(multi)
                 self._multi_cache = (n_steps, multi)
             self._state = self._multi_cache[1](self._state)
 

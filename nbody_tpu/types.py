@@ -148,6 +148,21 @@ class SimulationConfig:
     # Multi-chip: number of devices to shard the particle axis over
     # (1 = single chip).
     shard_devices: int = 1
+    # Amortized re-sort cadence for the cell-sorted engines: re-derive the
+    # cell assignment every N steps inside fused multi-step runs and take
+    # FROZEN-GRID steps between (ops/integrator.make_resort_multi_step).
+    # 1 (the default) = re-sort every step, the reference's
+    # Thrust-per-step semantics (force_barnes_hut.cu:276-280) — always
+    # exact. Cadence > 1 evaluates boundary-crossing rows with a stale
+    # cell assignment between re-sorts (positions/masses stay exact;
+    # only the near-window center and expansion cell lag), so accuracy
+    # is SCENE-DEPENDENT: fine when per-step motion ≪ one cell, and
+    # measurably divergent on violent scenes (the 1M cold-collapse
+    # bench crosses ~1.8% of cells per dt=1e-3 step —
+    # scripts/profile_r4d.py s0). Bound it with the engines'
+    # ``frozen(..., with_audit=True)`` staleness count before trusting
+    # a cadence on a new scene.
+    resort_every: int = 1
     # Distribution parameters (reference: include/nbody/types.hpp:343-382
     # plumbs Uniform/Spherical/DiskDistribution structs through config).
     # One of the *DistParams dataclasses matching init_distribution, or

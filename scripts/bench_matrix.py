@@ -88,10 +88,22 @@ def run_cell(method_name, n, scene):
 
     steps = 200 if n <= 10_000 else (50 if n <= 100_000 else 30)
     sorted_force = make_sorted_force_fn(config, pos_hint=state.pos)
-    if sorted_force is not None:
-        multi = jax.jit(make_sorted_multi_step(sorted_force, config.dt, steps))
-    else:
+    # bench.py-identical cadence knob (NBODY_BENCH_RESORT, default 1 =
+    # re-sort every step). Cadence > 1 is opt-in: accuracy is
+    # scene-dependent (see bench.py's note / scripts/profile_r4d.py s0).
+    import os
+
+    resort = int(os.environ.get("NBODY_BENCH_RESORT", "1"))
+    if sorted_force is None:
         multi = jax.jit(make_multi_step(force_fn, config.dt, steps))
+    elif resort > 1 and hasattr(sorted_force, "frozen") and n < (1 << 24):
+        from nbody_tpu.ops.integrator import make_resort_multi_step
+
+        multi = jax.jit(
+            make_resort_multi_step(sorted_force, config.dt, steps, resort)
+        )
+    else:
+        multi = jax.jit(make_sorted_multi_step(sorted_force, config.dt, steps))
     out = multi(state)
     float(out.time)  # real readback warmup
     wall = float("inf")
