@@ -215,6 +215,7 @@ class Application:
                 "cutoff": str(o.spatial_hash_cutoff),
                 "init": o.init_distribution.name.lower(),
                 "devices": str(o.devices),
+                "resort_every": str(o.resort_every),
             },
         )
         record.attach_phase_snapshot(consume_global_phase_snapshot())
