@@ -216,6 +216,7 @@ class Application:
                 "init": o.init_distribution.name.lower(),
                 "devices": str(o.devices),
                 "resort_every": str(o.resort_every),
+                "resort_stale_frac": str(o.resort_stale_frac),
             },
         )
         record.attach_phase_snapshot(consume_global_phase_snapshot())

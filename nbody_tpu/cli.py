@@ -53,6 +53,7 @@ class AppCliOptions:
     live: bool = False  # ANSI terminal live view (headless GLFW analogue)
     devices: int = 1
     resort_every: int = 1  # amortized re-sort cadence (fused runs)
+    resort_stale_frac: float = 0.0  # adaptive audit-driven re-sort (>0)
     steps: int = 0  # 0 = run until interrupted (interactive)
     debug_nans: bool = False  # NaN tracing (SURVEY.md §5.2 analogue)
     # Distribution parameters (None = that distribution's default;
@@ -162,6 +163,7 @@ class AppCliOptions:
             seed=self.seed,
             shard_devices=self.devices,
             resort_every=self.resort_every,
+            resort_stale_frac=self.resort_stale_frac,
         )
 
 
@@ -271,6 +273,8 @@ def parse_app_cli_options(argv: List[str]) -> AppCliOptions:
             o.devices = _parse_int(need_value(a), a)
         elif a == "--resort-every":
             o.resort_every = _parse_int(need_value(a), a)
+        elif a == "--resort-stale-frac":
+            o.resort_stale_frac = _parse_float(need_value(a), a)
         elif a == "--debug-nans":
             o.debug_nans = True
         elif a == "--steps":
@@ -363,6 +367,9 @@ Distribution parameters (scoped to --init; defaults per distribution):
   --resort-every N       Re-derive the cell sort every N fused steps
                          (1 = every step; >1 amortizes the sort, stale
                          boundary rows are audited)
+  --resort-stale-frac F  Adaptive re-sort: take frozen steps until the
+                         audited stale fraction exceeds F (cap
+                         --resort-every steps), 0 disables
   --benchmark            Headless timed run; emits a JSON record
   --benchmark-steps N    Steps per benchmark run
   --benchmark-output P   Benchmark JSON destination file

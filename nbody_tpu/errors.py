@@ -121,6 +121,8 @@ def validate_config(config: SimulationConfig) -> None:
         raise ValidationError("shard_devices must be positive")
     if config.resort_every <= 0:
         raise ValidationError("resort_every must be positive")
+    if not 0.0 <= config.resort_stale_frac <= 1.0:
+        raise ValidationError("resort_stale_frac must be in [0, 1]")
 
 
 # Bytes per particle in device state: pos/vel/acc (3×3 f32) + mass (1 f32).

@@ -1408,6 +1408,19 @@ def make_barnes_hut_forces_sorted(config: SimulationConfig):
             with_audit=with_audit,
         )
 
+    def stale_count(psort, meta, _d=1 << p["levels"]):
+        """Rows whose cell under the FROZEN binning differs from the
+        cached assignment — the engine's own binning formula, evaluable
+        BEFORE a force so adaptive stepping can re-sort preemptively
+        (ops/integrator.make_adaptive_multi_step)."""
+        cs = jnp.clip(
+            ((psort[:, :3] - meta.lo) / meta.cell).astype(jnp.int32),
+            0, _d - 1,
+        )
+        ids_now = (cs[:, 0] * _d + cs[:, 1]) * _d + cs[:, 2]
+        return jnp.sum((ids_now != meta.ids).astype(jnp.int32))
+
+    sorted_force_fn.stale_count = stale_count
     sorted_force_fn.with_meta = with_meta
     sorted_force_fn.frozen = frozen
     return sorted_force_fn

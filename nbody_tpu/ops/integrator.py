@@ -379,6 +379,144 @@ def make_resort_multi_step(
     return multi
 
 
+def make_adaptive_multi_step(
+    sorted_force_fn: SortedForceFn, dt: float, n_steps: int,
+    *, max_stale_frac: float = 0.01, max_cadence: int = 16,
+    with_trace: bool = False,
+):
+    """``n_steps`` Verlet steps that re-sort WHEN THE SCENE ASKS —
+    audit-driven frozen-grid stepping in one fused XLA program.
+
+    A fixed ``resort_every`` cadence is the wrong control for the
+    frozen-grid machinery because staleness is scene-dependent (the 1M
+    cold-collapse bench crosses ~1.8% of cells per dt=1e-3 step and
+    diverges under any fixed cadence > 1, while gentle scenes cross
+    ~none — scripts/profile_r4d.py s0). Here every frozen step audits
+    itself (``frozen(..., with_audit=True)`` — measured ~free, +0.08 ms
+    at 1M, profile_r4a.py f0/f1) and the NEXT step re-sorts via
+    ``lax.cond`` when the audited stale fraction exceeded
+    ``max_stale_frac`` or ``max_cadence`` frozen steps have run. On a
+    violent scene this degrades to the reference's re-sort-every-step
+    semantics (force_barnes_hut.cu:276-280) with zero configuration; on
+    a quiet scene it rides the frozen fast path.
+
+    The trigger lags the audit by one step (the staleness that crossed
+    the threshold was already incurred), so the realized error bound is
+    ``max_stale_frac`` plus one step's crossings — pick the threshold
+    with that margin. ``with_trace=True`` makes the returned function
+    also return the per-step ``(stale_counts, resorted)`` arrays for
+    diagnostics and tests.
+
+    Same contract as ``make_resort_multi_step`` (engine
+    ``with_meta``/``frozen`` attributes, N < 2²⁴, original row order in
+    and out); step arithmetic mirrors it: ``max_cadence=1`` reproduces
+    cadence-1 bitwise (every step re-sorts — the audit never runs), and
+    ``max_stale_frac=1`` (staleness never triggers) reproduces the
+    fixed ``max_cadence`` up to ulp-level fusion differences from the
+    always-on audit (tests/test_frozen_grid.py pins both).
+    """
+    if not 0.0 <= max_stale_frac <= 1.0:
+        raise ValueError("max_stale_frac must be in [0, 1]")
+    if max_cadence < 1:
+        raise ValueError("max_cadence must be >= 1")
+    with_meta = getattr(sorted_force_fn, "with_meta", None)
+    frozen = getattr(sorted_force_fn, "frozen", None)
+    if with_meta is None or frozen is None:
+        raise ValueError(
+            "sorted_force_fn has no frozen-grid contract "
+            "(with_meta/frozen attributes) — use make_sorted_multi_step"
+        )
+    n_f32_exact = 1 << 24
+
+    def pad4(a):
+        return jnp.pad(a, ((0, 0), (0, 1)))
+
+    def sorted_step(psort, vel_tag, acc, t):
+        """Identical arithmetic to make_resort_multi_step.sorted_step,
+        on the packed (N, 4) carry."""
+        dtc = jnp.asarray(dt, psort.dtype)
+        pos_d = psort[:, :3] + vel_tag[:, :3] * dtc + (0.5 * dtc * dtc) * acc
+        pay = vel_tag + (0.5 * dtc) * pad4(acc)
+        acc_s, psort_n, order, meta = with_meta(pos_d, psort[:, 3])
+        pay = pay[order]
+        vel_tag_n = pay + (0.5 * dtc) * pad4(acc_s)
+        return psort_n, vel_tag_n, acc_s, t + dtc, meta
+
+    def frozen_step(psort, vel_tag, acc, t, meta):
+        dtc = jnp.asarray(dt, psort.dtype)
+        pos_d = psort[:, :3] + vel_tag[:, :3] * dtc + (0.5 * dtc * dtc) * acc
+        psort_d = jnp.concatenate([pos_d, psort[:, 3:4]], axis=-1)
+        pay = vel_tag + (0.5 * dtc) * pad4(acc)
+        acc_n, n_stale = frozen(psort_d, meta, with_audit=True)
+        vel_tag_n = pay + (0.5 * dtc) * pad4(acc_n)
+        # audit count dtype varies with the host int regime — pin it so
+        # the lax.cond branches agree
+        return psort_d, vel_tag_n, acc_n, t + dtc, n_stale.astype(jnp.int32)
+
+    def multi(state: ParticleState):
+        n = state.pos.shape[0]
+        if n >= n_f32_exact:
+            raise ValueError(
+                "make_adaptive_multi_step requires N < 2^24 (exact float "
+                "row tags); use make_sorted_multi_step"
+            )
+        stale_cap = jnp.int32(int(max_stale_frac * n))
+        tagf = jnp.arange(n, dtype=state.pos.dtype)[:, None]
+        psort0 = jnp.concatenate([state.pos, state.mass[:, None]], axis=-1)
+        vel_tag0 = jnp.concatenate([state.vel, tagf], axis=-1)
+        # Step 1 always sorts (there is no meta yet).
+        psort, vel_tag, acc, t, meta = sorted_step(
+            psort0, vel_tag0, state.acc, state.time
+        )
+
+        def body(c, _):
+            psort, vel_tag, acc, t, meta, since, stale = c
+            # since = steps taken since the last re-sort (the sorted
+            # step is step 0), so the next step is the (since+1)-th of
+            # the current chunk: sort when that would exceed the cap.
+            resort = (stale > stale_cap) | (since >= max_cadence - 1)
+
+            def do_sorted(args):
+                psort, vel_tag, acc, t, meta = args
+                psort, vel_tag, acc, t, meta_n = sorted_step(
+                    psort, vel_tag, acc, t
+                )
+                return (psort, vel_tag, acc, t, meta_n,
+                        jnp.int32(0), jnp.int32(0))
+
+            def do_frozen(args):
+                psort, vel_tag, acc, t, meta = args
+                psort, vel_tag, acc, t, n_stale = frozen_step(
+                    psort, vel_tag, acc, t, meta
+                )
+                return (psort, vel_tag, acc, t, meta,
+                        since + jnp.int32(1), n_stale)
+
+            c_n = jax.lax.cond(
+                resort, do_sorted, do_frozen,
+                (psort, vel_tag, acc, t, meta),
+            )
+            return c_n, (c_n[-1], resort)
+
+        c0 = (psort, vel_tag, acc, t, meta, jnp.int32(0), jnp.int32(0))
+        if n_steps > 1:
+            c, trace = jax.lax.scan(body, c0, None, length=n_steps - 1)
+        else:
+            c, trace = c0, (jnp.zeros((0,), jnp.int32),
+                            jnp.zeros((0,), jnp.bool_))
+        psort, vel_tag, acc, t = c[0], c[1], c[2], c[3]
+        inv = jnp.argsort(vel_tag[:, 3].astype(jnp.int32))
+        out = ParticleState(
+            pos=psort[inv, :3], vel=vel_tag[inv, :3], acc=acc[inv],
+            mass=psort[inv, 3], time=t,
+        )
+        if with_trace:
+            return out, trace
+        return out
+
+    return multi
+
+
 # ---------------------------------------------------------------------------
 # Energy observability (reference: integrator.cu:252-289)
 # ---------------------------------------------------------------------------

@@ -180,9 +180,27 @@ class ParticleSystem:
                         self._config, pos_hint=self._state.pos
                     )
                     cadence = self._config.resort_every
+                    stale_frac = self._config.resort_stale_frac
                     if sorted_force is None:
                         multi = make_multi_step(
                             self._force_fn, self._config.dt, n_steps
+                        )
+                    elif (
+                        stale_frac > 0.0
+                        and hasattr(sorted_force, "frozen")
+                        and self._state.n < (1 << 24)
+                    ):
+                        # Audit-driven adaptive re-sort: frozen steps
+                        # while the measured stale fraction allows, the
+                        # fixed cadence as the cap (16 when unset).
+                        from nbody_tpu.ops.integrator import (
+                            make_adaptive_multi_step,
+                        )
+
+                        multi = make_adaptive_multi_step(
+                            sorted_force, self._config.dt, n_steps,
+                            max_stale_frac=stale_frac,
+                            max_cadence=cadence if cadence > 1 else 16,
                         )
                     elif (
                         cadence > 1

@@ -163,6 +163,14 @@ class SimulationConfig:
     # ``frozen(..., with_audit=True)`` staleness count before trusting
     # a cadence on a new scene.
     resort_every: int = 1
+    # Audit-driven ADAPTIVE re-sort (ops/integrator.
+    # make_adaptive_multi_step): when > 0, fused runs take frozen steps
+    # until the audited stale fraction exceeds this bound (or
+    # ``resort_every`` frozen steps have run, when resort_every > 1 —
+    # else a 16-step cap), then re-sort. Degrades to re-sort-every-step
+    # on violent scenes with zero configuration; the trigger lags the
+    # audit by one step. 0 (default) = fixed-cadence behavior above.
+    resort_stale_frac: float = 0.0
     # Distribution parameters (reference: include/nbody/types.hpp:343-382
     # plumbs Uniform/Spherical/DiskDistribution structs through config).
     # One of the *DistParams dataclasses matching init_distribution, or

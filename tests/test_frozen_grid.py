@@ -23,6 +23,7 @@ from nbody_tpu.ops.barnes_hut import (
 )
 from nbody_tpu.ops.integrator import (
     initialize_forces,
+    make_adaptive_multi_step,
     make_resort_multi_step,
     make_sorted_multi_step,
 )
@@ -215,3 +216,99 @@ class TestResortMultiStep:
         sf = make_barnes_hut_forces_sorted(_bh_config())
         with pytest.raises(ValueError, match="resort_every"):
             make_resort_multi_step(sf, 1e-3, 4, 0)
+
+
+class TestAdaptiveMultiStep:
+    """Audit-driven re-sort (ops/integrator.make_adaptive_multi_step):
+    the fixed-cadence machinery with staleness as the trigger."""
+
+    def test_max_cadence_one_is_every_step(self, sphere):
+        """max_cadence=1 must reproduce cadence-1 stepping bitwise."""
+        sf = make_barnes_hut_forces_sorted(_bh_config())
+        s = _init_sorted(sphere, sf)
+        a = jax.jit(make_resort_multi_step(sf, 1e-3, 5, 1))(s)
+        b = jax.jit(make_adaptive_multi_step(
+            sf, 1e-3, 5, max_stale_frac=0.0, max_cadence=1))(s)
+        np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+        np.testing.assert_array_equal(np.asarray(a.vel), np.asarray(b.vel))
+
+    def test_stale_never_triggers_is_fixed_cadence(self, sphere):
+        """max_stale_frac=1 (staleness never triggers) reproduces the
+        fixed max_cadence up to ulp: the adaptive path's always-on
+        audit fuses slightly differently than the unaudited frozen form
+        (measured 8/1536 elements at 1 ulp)."""
+        sf = make_barnes_hut_forces_sorted(_bh_config())
+        s = _init_sorted(sphere, sf)
+        a = jax.jit(make_resort_multi_step(sf, 1e-3, 7, 3))(s)
+        b = jax.jit(make_adaptive_multi_step(
+            sf, 1e-3, 7, max_stale_frac=1.0, max_cadence=3))(s)
+        pscale = float(jnp.max(jnp.abs(a.pos)))
+        vscale = float(jnp.max(jnp.abs(a.vel))) or 1.0
+        np.testing.assert_allclose(
+            np.asarray(a.pos), np.asarray(b.pos), atol=1e-6 * pscale)
+        np.testing.assert_allclose(
+            np.asarray(a.vel), np.asarray(b.vel), atol=1e-5 * vscale)
+        assert float(a.time) == float(b.time)
+
+    def test_trace_resorts_when_stale_exceeds(self, sphere):
+        """With a tiny threshold, a frozen step whose audit crosses it
+        forces the NEXT step to re-sort (the documented one-step lag);
+        every re-sorted step reports stale 0."""
+        sf = make_barnes_hut_forces_sorted(_bh_config())
+        s = _init_sorted(sphere, sf)
+        # Hot velocities so staleness accrues within a few steps.
+        import dataclasses
+
+        s = dataclasses.replace(s, vel=s.vel + 50.0 * jax.random.normal(
+            jax.random.PRNGKey(8), s.vel.shape, dtype=s.vel.dtype))
+        out, (stales, resorts) = jax.jit(make_adaptive_multi_step(
+            sf, 1e-3, 8, max_stale_frac=1e-4, max_cadence=64,
+            with_trace=True))(s)
+        stales = np.asarray(stales)
+        resorts = np.asarray(resorts)
+        assert bool(jnp.all(jnp.isfinite(out.pos)))
+        cap = int(1e-4 * 512)
+        # audit(i) > cap  =>  step i+1 re-sorted
+        for i in range(len(stales) - 1):
+            if stales[i] > cap:
+                assert resorts[i + 1], (i, stales, resorts)
+        assert np.all(stales[resorts] == 0)
+        assert resorts.any(), (stales, resorts)
+
+    def test_adaptive_tracks_every_step_physics(self, sphere):
+        sf = make_barnes_hut_forces_sorted(_bh_config())
+        s = _init_sorted(sphere, sf)
+        a = jax.jit(make_resort_multi_step(sf, 1e-3, 6, 1))(s)
+        b = jax.jit(make_adaptive_multi_step(
+            sf, 1e-3, 6, max_stale_frac=0.005, max_cadence=4))(s)
+        pscale = float(jnp.max(jnp.abs(a.pos)))
+        np.testing.assert_allclose(
+            np.asarray(a.pos), np.asarray(b.pos), atol=1e-5 * pscale
+        )
+
+    def test_facade_stale_frac_dispatch(self):
+        """resort_stale_frac flows through ParticleSystem.run_steps and
+        stays close to the every-step default."""
+        from nbody_tpu.system import ParticleSystem
+
+        def run(frac):
+            sys_ = ParticleSystem()
+            sys_.initialize(SimulationConfig(
+                particle_count=256, force_method=ForceMethod.SPATIAL_HASH,
+                spatial_hash_cell_size=2.0, spatial_hash_cutoff=2.0,
+                hash_engine="tiles", hash_max_grid_dim=8, hash_tile_k=8,
+                dt=1e-3, seed=11, resort_stale_frac=frac,
+            ))
+            sys_.run_steps(6)
+            return sys_.positions()
+
+        a, b = run(0.0), run(0.01)
+        scale = float(np.max(np.abs(a))) or 1.0
+        np.testing.assert_allclose(a, b, atol=1e-5 * scale)
+
+    def test_bad_params_raise(self):
+        sf = make_barnes_hut_forces_sorted(_bh_config())
+        with pytest.raises(ValueError, match="max_stale_frac"):
+            make_adaptive_multi_step(sf, 1e-3, 4, max_stale_frac=1.5)
+        with pytest.raises(ValueError, match="max_cadence"):
+            make_adaptive_multi_step(sf, 1e-3, 4, max_cadence=0)
