@@ -433,7 +433,8 @@ def monotone_segment_sum(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "d", "r", "w", "q", "split3", "interpret", "with_moments"
+        "k", "d", "r", "w", "q", "split3", "interpret", "with_moments",
+        "with_coverage",
     ),
 )
 def monotone_scatter_tiles(
@@ -454,6 +455,7 @@ def monotone_scatter_tiles(
     interpret: bool = False,
     with_moments: bool = False,
     cell_ids: jax.Array | None = None,  # (N,) i32 sorted cell ids (moments)
+    with_coverage: bool = False,
 ):
     """→ (4, d³·k) channel-major dense slot rows, cell centers with mass 0
     in unmatched columns.
@@ -481,6 +483,13 @@ def monotone_scatter_tiles(
     monotone_segment_sum moments pass cost ~10 ms/step at 1M). Keyed on
     the cell id, not the slot dest, so k-overflow rows still contribute:
     moments are exact at any density. Returns (tiles, moments) then.
+
+    ``with_coverage=True`` returns 6 channel rows instead of 4: row 4 is
+    the placed dest-id channel (unused by callers) and row 5 the EXACT
+    occupancy mask (1.0 where a source row was placed, 0.0 filler) that
+    the kernel accumulates anyway for its filler merge — table-resident
+    stepping (ops/table_step.py) uses it to mask empty slots without
+    assuming mass > 0.
     """
     if q != 0 and q * k != r:
         raise ValueError(f"slot-major layout needs q*k == r, got {(q, k, r)}")
@@ -595,6 +604,7 @@ def monotone_scatter_tiles(
         ),
         interpret=interpret,
     )(starts128, nonempty, nwin, geom, src)
+    nch = 6 if with_coverage else 4
     if with_moments:
         tiles, mom = out
         # n_chunks · q == d³ exactly (q = r/k whole cells per chunk).
@@ -602,5 +612,5 @@ def monotone_scatter_tiles(
             mom.reshape(16, n_chunks, qp)[:11, :, :q]
             .reshape(11, n_chunks * q)
         )
-        return tiles[:4], mom
-    return out[:4]
+        return tiles[:nch], mom
+    return out[:nch]

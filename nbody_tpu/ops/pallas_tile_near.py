@@ -348,6 +348,19 @@ def _near_kernel(*refs, k, ws, d, c, m, eps, zero_guard,
     )
 
 
+def sweep_lane_geometry(d: int, chunk: int = 512):
+    """(c, nc, L) lane-chunk geometry of ``tile_sweep_pallas_plane`` for
+    grid dim ``d``: chunk width c, chunk count nc, padded lane count
+    L = nc·c ≥ d². The single source of truth shared with table-resident
+    stepping (ops/table_step.py), which keeps state in the padded layout
+    so frozen-step arithmetic aligns with the sweep output exactly
+    (at d = 64, L = d² — no padding at all)."""
+    l = d * d
+    c = min(chunk, _round_up(l, 128))
+    nc = -(-l // c)
+    return c, nc, nc * c
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -400,9 +413,19 @@ def tile_sweep_pallas_plane(
     m = _round_up(ws * d + ws, 128)
     nc = -(-l // c)
 
+    # The input's lane dim may be the raw d² OR already chunk-padded to
+    # nc·c (table-resident stepping keeps state in the padded layout so
+    # the kick never slices the sweep output, ops/table_step.py) — pad
+    # whatever remains.
+    lanes_in = tiles_plane.shape[-1]
+    if lanes_in not in (l, nc * c):
+        raise ValueError(
+            f"tiles_plane lane dim {lanes_in} is neither d²={l} nor the "
+            f"chunk-padded {nc * c}"
+        )
     t = jnp.pad(
         tiles_plane,
-        [(ws, ws), (0, 0), (0, 0), (m, m + nc * c - l)],
+        [(ws, ws), (0, 0), (0, 0), (m, m + nc * c - lanes_in)],
     )  # (D+2ws, 4, K, Lp)
 
     if row_major and 8 * k > 128:
@@ -418,7 +441,8 @@ def tile_sweep_pallas_plane(
     if with_far:
         n_far = far_plane.shape[1]
         fp = jnp.pad(
-            far_plane.astype(jnp.float32), [(0, 0), (0, 0), (0, nc * c - l)]
+            far_plane.astype(jnp.float32),
+            [(0, 0), (0, 0), (0, nc * c - far_plane.shape[-1])],
         )
         geom = jnp.zeros((1, 128), jnp.float32)
         geom = geom.at[0, :3].set(lo.astype(jnp.float32))
