@@ -188,11 +188,25 @@ class Application:
         self.system.run_steps(chunk)
         self.system.block_until_ready()
 
-        t0 = time.perf_counter()
-        for _ in range(n_chunks):
-            self.system.run_steps(chunk)
-        self.system.block_until_ready()
-        wall = time.perf_counter() - t0
+        # Deep traces (--trace DIR): jax.profiler around the timed loop —
+        # the TPU-native analogue of the reference's documented nsys/ncu
+        # workflow (docs/architecture/performance.md:287-318). Phase names
+        # from utils/profiling annotate the host timeline via
+        # TraceAnnotation; open DIR in Perfetto / XProf.
+        if o.trace_dir:
+            import jax.profiler
+
+            trace_ctx = jax.profiler.trace(o.trace_dir)
+        else:
+            import contextlib
+
+            trace_ctx = contextlib.nullcontext()
+        with trace_ctx:
+            t0 = time.perf_counter()
+            for _ in range(n_chunks):
+                self.system.run_steps(chunk)
+            self.system.block_until_ready()
+            wall = time.perf_counter() - t0
 
         self._export_if_requested()
 

@@ -56,6 +56,7 @@ class AppCliOptions:
     resort_stale_frac: float = 0.0  # adaptive audit-driven re-sort (>0)
     steps: int = 0  # 0 = run until interrupted (interactive)
     debug_nans: bool = False  # NaN tracing (SURVEY.md §5.2 analogue)
+    trace_dir: str = ""  # deep-trace output dir (jax.profiler.trace)
     # Distribution parameters (None = that distribution's default;
     # reference: include/nbody/types.hpp:343-382).
     radius: Optional[float] = None
@@ -277,6 +278,8 @@ def parse_app_cli_options(argv: List[str]) -> AppCliOptions:
             o.resort_stale_frac = _parse_float(need_value(a), a)
         elif a == "--debug-nans":
             o.debug_nans = True
+        elif a == "--trace":
+            o.trace_dir = need_value(a)
         elif a == "--steps":
             o.steps = _parse_int(need_value(a), a)
         elif a.startswith("-"):
@@ -388,6 +391,8 @@ Diagnostics:
   --list-algorithms      Print the force methods and exit
   --diagnostics          Print device/config diagnostics
   --debug-nans           Raise on the first NaN produced on device
+  --trace DIR            Write a deep device trace of the benchmark loop
+                         to DIR (jax.profiler; open in Perfetto/XProf)
   --help                 Print this usage text
 """
 

@@ -12,6 +12,7 @@ reduce with psum.
 
 from __future__ import annotations
 
+import warnings
 from typing import Callable
 
 import jax
@@ -25,13 +26,35 @@ from nbody_tpu.state import ParticleState
 from nbody_tpu.types import ForceMethod, SimulationConfig
 
 
+class ReplicatedFallbackWarning(RuntimeWarning):
+    """The sharded force fell back to REPLICATED per-device compute.
+
+    Results stay exact, but every device runs the full single-device
+    program — O(N·devices) redundant work, no scaling. Raised so a user
+    who configured a mesh learns that the designed distributed path
+    (parallel/tree.py) was not selected; fix by choosing a grid that
+    divides the mesh (BH: 2^bh_max_level % n_devices == 0; hash:
+    hash_max_grid_dim % n_devices == 0)."""
+
+
+def _tag(force_fn, distribution: str):
+    """Annotate the closure with the selected distribution strategy so
+    callers (ParticleSystem.diagnostics) can surface it."""
+    force_fn.distribution = distribution
+    return force_fn
+
+
 def make_sharded_force_fn(
     config: SimulationConfig, mesh: Mesh, pos_hint=None
 ) -> Callable:
     """Every branch returns a JITTED closure: a shard_map called outside
     jit falls back to eager per-op dispatch across the mesh (minutes for
     one 8-device CPU force call — measured r3); jit-of-jit is inlined,
-    so callers already under jit pay nothing."""
+    so callers already under jit pay nothing. The returned closure
+    carries a ``distribution`` attribute naming the selected strategy
+    (``"ring"`` / ``"tree-slabs"`` / ``"hash-slabs"`` /
+    ``"replicated-fallback"``); selecting the fallback for a tree/hash
+    method emits ``ReplicatedFallbackWarning``."""
     if config.force_method == ForceMethod.DIRECT_N2:
 
         def force_fn(pos, mass):
@@ -39,7 +62,7 @@ def make_sharded_force_fn(
                 pos, mass, mesh, config.G, config.softening
             )
 
-        return jax.jit(force_fn)
+        return _tag(jax.jit(force_fn), "ring")
 
     # Hash / BH: the DESIGNED distributed paths (parallel/tree.py —
     # psum-combined pyramid, slab routing, ppermute halo) whenever the
@@ -70,7 +93,7 @@ def make_sharded_force_fn(
                     near_k=near_k,
                 )
 
-            return jax.jit(force_fn)
+            return _tag(jax.jit(force_fn), "tree-slabs")
     elif config.force_method == ForceMethod.SPATIAL_HASH:
         if config.hash_max_grid_dim % n_dev == 0:
             from nbody_tpu.parallel.tree import sharded_spatial_hash_forces
@@ -88,7 +111,19 @@ def make_sharded_force_fn(
                     max_per_cell=config.hash_max_per_cell,
                 )
 
-            return jax.jit(force_fn)
+            return _tag(jax.jit(force_fn), "hash-slabs")
+
+    warnings.warn(
+        f"sharded {config.force_method.cli_name}: grid does not divide the "
+        f"{mesh.devices.size}-device mesh "
+        f"(BH d={1 << config.bh_max_level} / hash cap="
+        f"{config.hash_max_grid_dim}) — falling back to REPLICATED "
+        "per-device compute (exact, but O(N*devices) redundant work, no "
+        "scaling). Pick a grid that divides the mesh to get the designed "
+        "distributed path.",
+        ReplicatedFallbackWarning,
+        stacklevel=2,
+    )
 
     from nbody_tpu.ops.forces import make_force_fn
 
@@ -129,7 +164,7 @@ def make_sharded_force_fn(
             acc, jax.sharding.NamedSharding(mesh, P(PARTICLE_AXIS))
         )
 
-    return jax.jit(force_fn)
+    return _tag(jax.jit(force_fn), "replicated-fallback")
 
 
 def make_sharded_step(config: SimulationConfig, mesh: Mesh, pos_hint=None):

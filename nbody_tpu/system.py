@@ -45,7 +45,10 @@ class ParticleSystem:
         self._state: Optional[ParticleState] = None
         self._force_fn = None
         self._step = None
-        self._multi_cache = (0, None)  # (n_steps, jitted multi-step)
+        # jitted multi-step programs keyed by n_steps (bounded; alternating
+        # chunk sizes — e.g. render cadence vs benchmark cadence — must not
+        # recompile every call)
+        self._multi_cache: dict = {}
         self._paused = False
         self._initialized = False
         # Multi-device execution (config.shard_devices > 1): the mesh the
@@ -128,7 +131,7 @@ class ParticleSystem:
         else:
             self._force_fn = make_force_fn(self._config, pos_hint=pos_hint)
         self._step = jax.jit(make_verlet_step(self._force_fn, self._config.dt))
-        self._multi_cache = (0, None)
+        self._multi_cache = {}
 
     # ---- stepping --------------------------------------------------------
 
@@ -158,7 +161,7 @@ class ParticleSystem:
         if self._paused or n_steps <= 0:
             return
         with profile_phase("simulation.run_steps"):
-            if self._multi_cache[0] != n_steps:
+            if n_steps not in self._multi_cache:
                 if self._mesh is not None:
                     from nbody_tpu.parallel.step import (
                         make_sharded_multi_step,
@@ -220,8 +223,10 @@ class ParticleSystem:
                             sorted_force, self._config.dt, n_steps
                         )
                     multi = jax.jit(multi)
-                self._multi_cache = (n_steps, multi)
-            self._state = self._multi_cache[1](self._state)
+                if len(self._multi_cache) >= 8:  # bounded: evict oldest
+                    self._multi_cache.pop(next(iter(self._multi_cache)))
+                self._multi_cache[n_steps] = multi
+            self._state = self._multi_cache[n_steps](self._state)
 
     def pause(self) -> None:
         self._require_init()
@@ -257,7 +262,7 @@ class ParticleSystem:
         validate_config(cfg)
         self._config = cfg
         self._step = jax.jit(make_verlet_step(self._force_fn, dt))
-        self._multi_cache = (0, None)
+        self._multi_cache = {}
 
     def _set_param(self, **kw) -> None:
         self._require_init()
@@ -556,6 +561,14 @@ class ParticleSystem:
             "particle_count": n,
             "shard_devices": (
                 self._mesh.devices.size if self._mesh is not None else 1
+            ),
+            # Which distributed strategy the sharded force selected
+            # ("ring"/"tree-slabs"/"hash-slabs"/"replicated-fallback";
+            # parallel/step.make_sharded_force_fn) — "replicated-fallback"
+            # means exact but O(N·devices) redundant compute, no scaling.
+            "force_distribution": getattr(
+                self._force_fn, "distribution",
+                "single-device" if self._mesh is None else "unknown",
             ),
             "force_method": self._config.force_method.cli_name,
             "simulation_time": float(self._state.time),

@@ -105,6 +105,15 @@ def profile_phase(name: str, *sync_values, profiler: Optional[PhaseProfiler] = N
     prof = profiler or _GLOBAL
     t0 = time.perf_counter()
     try:
+        # Deep-trace integration: when a jax.profiler.trace is active
+        # (app --trace DIR), the same phase names annotate the host
+        # timeline so the JSON records and the Perfetto view line up.
+        # TraceAnnotation is ~free when no trace is running.
+        import jax.profiler
+
+        with jax.profiler.TraceAnnotation(name):
+            yield
+    except ImportError:  # pragma: no cover — jax always present in prod
         yield
     finally:
         if sync_values:

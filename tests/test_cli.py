@@ -222,6 +222,25 @@ class TestAppEndToEnd:
         with open(out_path) as f:
             assert json.load(f) == doc
 
+    def test_trace_flag_parses(self):
+        o = parse_app_cli_options(["--trace", "/tmp/tracedir"])
+        assert o.trace_dir == "/tmp/tracedir"
+        assert parse_app_cli_options([]).trace_dir == ""
+
+    def test_benchmark_trace_writes_profile(self, capsys, tmp_path):
+        """--trace DIR wraps the benchmark loop in jax.profiler.trace and
+        leaves a loadable trace behind (SURVEY §5.1 TPU equivalent of the
+        reference's documented nsys workflow, performance.md:287-318)."""
+        trace_dir = tmp_path / "trace"
+        rc = main(
+            ["--particles", "300", "--benchmark-steps", "3",
+             "--trace", str(trace_dir)]
+        )
+        assert rc == 0
+        capsys.readouterr()
+        dumped = list(trace_dir.rglob("*"))
+        assert any(p.is_file() for p in dumped), "trace dir is empty"
+
     def test_benchmark_export_roundtrip(self, capsys, tmp_path):
         ckpt = str(tmp_path / "state.nbody")
         assert main(

@@ -297,13 +297,53 @@ class TestDesignedDistributed:
             hash_engine="tiles",
         )
         sharded = shard_state(s, mesh)
-        got = make_sharded_force_fn(cfg, mesh, pos_hint=sharded.pos)(
-            sharded.pos, sharded.mass
-        )
+        import warnings as _warnings
+
+        from nbody_tpu.parallel.step import ReplicatedFallbackWarning
+
+        with pytest.warns(ReplicatedFallbackWarning):
+            force_fn = make_sharded_force_fn(cfg, mesh, pos_hint=sharded.pos)
+        # the fallback is NOT silent: closure self-identifies (surfaced in
+        # ParticleSystem.diagnostics as force_distribution)
+        assert force_fn.distribution == "replicated-fallback"
+        got = force_fn(sharded.pos, sharded.mass)
         want = make_force_fn(cfg, pos_hint=s.pos)(s.pos, s.mass)
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=1e-6
         )
+
+    def test_designed_paths_selected_without_warning(self, mesh, key):
+        """Grids that divide the mesh select the designed distributed
+        paths (parallel/tree.py) with NO fallback warning, and the
+        closure names the strategy."""
+        import warnings as _warnings
+
+        from nbody_tpu.parallel.step import make_sharded_force_fn
+
+        cases = [
+            (SimulationConfig(particle_count=128), "ring"),
+            (
+                SimulationConfig(
+                    particle_count=128,
+                    force_method=ForceMethod.BARNES_HUT,
+                    bh_max_level=3,  # d=8 divides 8 devices
+                ),
+                "tree-slabs",
+            ),
+            (
+                SimulationConfig(
+                    particle_count=128,
+                    force_method=ForceMethod.SPATIAL_HASH,
+                    hash_max_grid_dim=8,
+                ),
+                "hash-slabs",
+            ),
+        ]
+        for cfg, want in cases:
+            with _warnings.catch_warnings():
+                _warnings.simplefilter("error")  # any warning fails
+                force_fn = make_sharded_force_fn(cfg, mesh)
+            assert force_fn.distribution == want
 
     def test_routing_overflow_counted(self, mesh, key):
         """Slab-routing capacity overflow is psum-counted, never silent

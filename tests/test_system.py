@@ -176,3 +176,11 @@ def test_run_steps_matches_update(small_system):
         np.asarray(small_system.state.pos),
         rtol=2e-5, atol=2e-6,
     )
+
+    # alternating chunk sizes (render cadence vs benchmark cadence) keep
+    # BOTH compiled programs cached — no recompile ping-pong on the hot
+    # public API (the method switch above cleared the cache, so {3}
+    # is the current content)
+    assert set(sys2._multi_cache) == {3}
+    sys2.run_steps(2)
+    assert set(sys2._multi_cache) == {2, 3}
