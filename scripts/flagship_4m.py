@@ -1,0 +1,148 @@
+"""4M-particle flagship demonstration on one TPU chip (BASELINE.json
+config #5: galaxy-collision at scale, live point-cloud frames).
+
+Two parts, one TPU grant:
+
+  1. bh-4m matrix cell — 4M-particle Barnes-Hut on the standard dense
+     spherical bench scene (L6 tiles, occupancy 15.3 → near_k 40),
+     bench.py-identical timing (warm scalar readback, min-of-3 timed
+     scans). The reference's own scale requirement is 10M "shall
+     support" (openspec/specs/simulation-core.md "Large Scale Support");
+     its published FPS table stops at 1M, so there is no baseline ratio.
+  2. galaxy-4m flagship — two 2M-particle disks on an approach
+     trajectory (models/scenes.galaxy_collision), stepped in fused
+     chunks and rendered to PNG frames through the decimated host
+     point-cloud renderer (reference seam: the benchmark flow of
+     src/main.cpp:335-416 + the CUDA/GL interop it renders through).
+
+Usage: python scripts/flagship_4m.py [out_dir]
+Env: NBODY_FLAGSHIP_N (default 4_000_000), NBODY_FLAGSHIP_FRAMES (6).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N = int(os.environ.get("NBODY_FLAGSHIP_N", 4_000_000))
+FRAMES = int(os.environ.get("NBODY_FLAGSHIP_FRAMES", 6))
+STEPS_PER_FRAME = 5
+DT = 1e-3
+
+
+def timed_steps(multi, state, steps):
+    out = multi(state)
+    float(out.time)  # warm scalar readback (executable-load tail)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = multi(out)
+        chk = float(jnp.sum(out.pos[0]))
+        best = min(best, time.perf_counter() - t0)
+    assert chk == chk
+    return steps / best, out
+
+
+def main():
+    from nbody_tpu.models.distributions import init_spherical
+    from nbody_tpu.models.scenes import galaxy_collision
+    from nbody_tpu.ops.barnes_hut import bh_engine_params
+    from nbody_tpu.ops.forces import make_force_fn, make_sorted_force_fn
+    from nbody_tpu.ops.integrator import (
+        initialize_forces,
+        make_multi_step,
+        make_sorted_multi_step,
+    )
+    from nbody_tpu.types import (
+        ForceMethod,
+        RenderConfig,
+        SimulationConfig,
+        SphericalDistParams,
+    )
+
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/flagship_4m"
+    os.makedirs(out_dir, exist_ok=True)
+    print(f"backend={jax.default_backend()} N={N}", flush=True)
+    results = {}
+
+    # ---- part 1: bh-4m dense-sphere matrix cell ------------------------
+    cfg = SimulationConfig(
+        particle_count=N, force_method=ForceMethod.BARNES_HUT,
+        bh_max_level=6, dt=DT,
+    )
+    print(f"bh engine params: {bh_engine_params(cfg)}", flush=True)
+    state = init_spherical(
+        jax.random.PRNGKey(42), N, SphericalDistParams(radius=10.0))
+    sf = make_sorted_force_fn(cfg, pos_hint=state.pos)
+    if sf is not None:
+        state = jax.jit(
+            lambda s: initialize_forces(s, lambda p, m: sf(p, m)[0][
+                jnp.argsort(sf(p, m)[2])])
+        )(state)
+        multi = jax.jit(make_sorted_multi_step(sf, DT, 15))
+    else:
+        ff = make_force_fn(cfg, pos_hint=state.pos)
+        state = jax.jit(lambda s: initialize_forces(s, ff))(state)
+        multi = jax.jit(make_multi_step(ff, DT, 15))
+    state.block_until_ready()
+    sps, out = timed_steps(multi, state, 15)
+    assert bool(jnp.isfinite(out.pos).all())
+    print(f"bh-4m dense sphere: {sps:.2f} steps/s", flush=True)
+    results["bh-4m"] = round(sps, 2)
+    del state, out, multi, sf
+
+    # ---- part 2: galaxy-collision flagship with frames ------------------
+    from nbody_tpu.render import Camera, PointRenderer
+
+    gcfg = SimulationConfig(
+        particle_count=N, force_method=ForceMethod.BARNES_HUT,
+        bh_max_level=6, dt=5e-3, softening=0.2,
+    )
+    gstate = galaxy_collision(
+        jax.random.PRNGKey(7), N, separation=30.0, approach_speed=0.8)
+    gsf = make_sorted_force_fn(gcfg, pos_hint=gstate.pos)
+    if gsf is not None:
+        gstate = jax.jit(
+            lambda s: initialize_forces(s, lambda p, m: gsf(p, m)[0][
+                jnp.argsort(gsf(p, m)[2])])
+        )(gstate)
+        chunk = jax.jit(make_sorted_multi_step(gsf, gcfg.dt, STEPS_PER_FRAME))
+    else:
+        gff = make_force_fn(gcfg, pos_hint=gstate.pos)
+        gstate = jax.jit(lambda s: initialize_forces(s, gff))(gstate)
+        chunk = jax.jit(make_multi_step(gff, gcfg.dt, STEPS_PER_FRAME))
+    gstate.block_until_ready()
+
+    camera = Camera(distance=70.0, azimuth=0.6, elevation=0.6)
+    renderer = PointRenderer(
+        RenderConfig(window_width=960, window_height=540), camera=camera)
+    decim = max(1, N // 1_000_000)  # render ≤1M points per frame
+
+    t_steps = 0.0
+    for f in range(FRAMES + 1):  # frame 0 = initial state
+        if f > 0:
+            t0 = time.perf_counter()
+            gstate = chunk(gstate)
+            float(gstate.time)
+            t_steps += time.perf_counter() - t0
+        pos = np.asarray(gstate.pos[::decim])
+        vel = np.asarray(gstate.vel[::decim])
+        img = renderer.render(pos, vel)
+        renderer.save_png(img, f"{out_dir}/frame_{f:04d}.png")
+        print(f"frame {f}/{FRAMES} t={float(gstate.time):.3f}", flush=True)
+    gsps = FRAMES * STEPS_PER_FRAME / t_steps
+    assert bool(jnp.isfinite(gstate.pos).all())
+    print(f"galaxy-4m flagship: {gsps:.2f} steps/s "
+          f"(incl. per-chunk dispatch; frames in {out_dir})", flush=True)
+    results["galaxy-4m"] = round(gsps, 2)
+    print(json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -15,6 +15,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Compile-heavy (every case builds interpret-mode multi-step programs —
+# ~1-2 min each on a 1-core box): excluded from the default run, CI runs
+# them in the slow job. The frozen path's hardware truth lives in
+# scripts/profile_r4d/r5a.py.
+pytestmark = pytest.mark.slow
+
 from nbody_tpu.models.distributions import init_spherical, init_uniform
 from nbody_tpu.ops.barnes_hut import (
     barnes_hut_forces_frozen,

@@ -1,0 +1,160 @@
+"""Table-resident frozen-grid stepping contracts (ops/table_step.py).
+
+The round-5 scale path keeps integration state in the sweep kernel's
+plane-major slot layout between re-sorts (no sort / placement / pickup on
+frozen steps). These tests pin its equivalence to the row-space cadence
+machinery (ops/integrator.make_resort_multi_step) on the interpret-mode
+Pallas pipeline — the same seam discipline as tests/test_frozen_grid.py.
+Hardware truth: scripts/profile_r5a.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbody_tpu.models.distributions import init_spherical, init_uniform
+from nbody_tpu.ops.barnes_hut import make_barnes_hut_forces_sorted
+from nbody_tpu.ops.integrator import (
+    initialize_forces,
+    make_resort_multi_step,
+)
+from nbody_tpu.ops.spatial_hash import make_spatial_hash_forces_sorted
+from nbody_tpu.ops.table_step import (
+    TableParams,
+    bh_table_params,
+    hash_table_params,
+    make_table_adaptive_multi_step,
+    make_table_multi_step,
+)
+from nbody_tpu.types import (
+    ForceMethod,
+    SimulationConfig,
+    SphericalDistParams,
+    UniformDistParams,
+)
+
+DT = 1e-3
+N = 512
+
+
+def _init(state, sf):
+    return jax.jit(
+        lambda s: initialize_forces(
+            s, lambda p, m: sf(p, m)[0][jnp.argsort(sf(p, m)[2])]
+        )
+    )(state)
+
+
+class TestValidation:
+    """Cheap (no pipeline compile): parameter contracts."""
+
+    def test_bad_mode_raises(self):
+        p = TableParams(mode="nope", d=8, k=8, G=1.0, softening=0.1,
+                        ws=1, impl="pallas_interpret")
+        with pytest.raises(ValueError, match="mode"):
+            make_table_multi_step(p, DT, 2)
+
+    def test_bh_needs_pow2_grid(self):
+        p = TableParams(mode="bh", d=24, k=8, G=1.0, softening=0.1,
+                        ws=1, impl="pallas_interpret", levels=3)
+        with pytest.raises(ValueError):
+            make_table_multi_step(p, DT, 2)
+
+    def test_bad_cadence_and_frac(self):
+        p = bh_table_params(levels=3, near_k=8, impl="pallas_interpret")
+        with pytest.raises(ValueError, match="resort_every"):
+            make_table_multi_step(p, DT, 2, 0)
+        with pytest.raises(ValueError, match="max_stale_frac"):
+            make_table_adaptive_multi_step(p, DT, 2, max_stale_frac=2.0)
+
+    def test_unfused_config_rejected(self):
+        # XLA impl has no fused tiles path → no table contract
+        p = TableParams(mode="bh", d=8, k=8, G=1.0, softening=0.1,
+                        ws=1, impl="xla", levels=3)
+        with pytest.raises(ValueError, match="fused"):
+            make_table_multi_step(p, DT, 2)
+
+
+@pytest.mark.slow
+class TestTableVsRowSpace:
+    """Table-resident stepping == row-space cadence stepping (the already
+    contract-tested machinery), including re-sorts, frozen runs, the
+    overflow side buffer, and the tag-restored readout order."""
+
+    def test_bh_cadence_matches_row_space(self):
+        cfg = SimulationConfig(
+            particle_count=N, force_method=ForceMethod.BARNES_HUT,
+            bh_max_level=3, dt=DT,
+        )
+        state = init_spherical(
+            jax.random.PRNGKey(3), N, SphericalDistParams(radius=5.0)
+        )
+        sf = make_barnes_hut_forces_sorted(cfg)
+        state = _init(state, sf)
+        # side_cap small but >0 so the side-buffer path is live
+        p = bh_table_params(levels=3, near_k=8, side_cap=64,
+                            impl="pallas_interpret")
+        # cadence 3 over 5 steps: entry sort + frozen run + mid re-sort
+        row = jax.jit(make_resort_multi_step(sf, DT, 5, 3))(state)
+        tab = jax.jit(make_table_multi_step(p, DT, 5, 3))(state)
+        np.testing.assert_array_equal(
+            np.asarray(row.pos), np.asarray(tab.pos)
+        )  # drift arithmetic is bit-identical by design
+        scale = float(jnp.max(jnp.abs(row.vel)))
+        np.testing.assert_allclose(
+            np.asarray(row.vel), np.asarray(tab.vel),
+            atol=1e-6 * scale,  # moments summation order differs
+        )
+        assert bool(jnp.isfinite(tab.acc).all())
+
+    def test_hash_cadence_matches_row_space(self):
+        cfg = SimulationConfig(
+            particle_count=N, force_method=ForceMethod.SPATIAL_HASH,
+            spatial_hash_cell_size=2.0, spatial_hash_cutoff=2.0, dt=DT,
+        )
+        state = init_uniform(
+            jax.random.PRNGKey(4), N,
+            UniformDistParams(min_bounds=(-6.0,) * 3,
+                              max_bounds=(6.0,) * 3),
+        )
+        hf = make_spatial_hash_forces_sorted(cfg, np.asarray(state.pos))
+        assert hf is not None and hasattr(hf, "frozen")
+        state = _init(state, hf)
+        p = hash_table_params(cutoff=2.0, cell_size=2.0, d=8, k=8,
+                              side_cap=64, impl="pallas_interpret")
+        row = jax.jit(make_resort_multi_step(hf, DT, 5, 3))(state)
+        tab = jax.jit(make_table_multi_step(p, DT, 5, 3))(state)
+        np.testing.assert_array_equal(
+            np.asarray(row.pos), np.asarray(tab.pos)
+        )
+        scale = float(jnp.max(jnp.abs(row.vel))) or 1.0
+        np.testing.assert_allclose(
+            np.asarray(row.vel), np.asarray(tab.vel), atol=1e-6 * scale
+        )
+
+    def test_bh_adaptive_runs_and_traces(self):
+        """Adaptive driver: audits BEFORE the force, re-sorts on trip or
+        cadence cap, stays finite, restores row order."""
+        cfg = SimulationConfig(
+            particle_count=N, force_method=ForceMethod.BARNES_HUT,
+            bh_max_level=3, dt=DT,
+        )
+        state = init_spherical(
+            jax.random.PRNGKey(5), N, SphericalDistParams(radius=5.0)
+        )
+        sf = make_barnes_hut_forces_sorted(cfg)
+        state = _init(state, sf)
+        p = bh_table_params(levels=3, near_k=8, side_cap=64,
+                            impl="pallas_interpret")
+        multi = jax.jit(make_table_adaptive_multi_step(
+            p, DT, 6, max_stale_frac=0.0, max_cadence=4, with_trace=True
+        ))
+        out, (stales, resorts) = multi(state)
+        assert bool(jnp.isfinite(out.pos).all())
+        # threshold 0 → any crossing triggers; trace shape = n_steps-1
+        assert np.asarray(resorts).shape == (5,)
+        # mass is permutation-restored exactly
+        np.testing.assert_array_equal(
+            np.asarray(out.mass), np.asarray(state.mass)
+        )
