@@ -121,7 +121,28 @@ def main():
     # cadence-8 measurably diverges. The headline number stays honest at
     # cadence 1; use the staleness audit before publishing cadence runs.
     resort = int(os.environ.get("NBODY_BENCH_RESORT", "1"))
-    if sorted_force is None:
+    # Audit-driven table-resident stepping (NBODY_BENCH_STALE_FRAC > 0):
+    # integration state lives in the sweep kernel's slot layout between
+    # re-sorts (ops/table_step.py) and the staleness audit runs BEFORE
+    # each step's force, so no above-threshold frozen step is ever taken
+    # — the safe-by-construction form of the cadence machinery.
+    stale_frac = float(os.environ.get("NBODY_BENCH_STALE_FRAC", "0"))
+    table_p = None
+    if stale_frac > 0.0:
+        from nbody_tpu.ops.forces import make_table_step_params
+
+        table_p = make_table_step_params(config, pos_hint=state.pos)
+    if table_p is not None:
+        from nbody_tpu.ops.table_step import make_table_adaptive_multi_step
+
+        multi = jax.jit(
+            make_table_adaptive_multi_step(
+                table_p, config.dt, steps,
+                max_stale_frac=stale_frac,
+                max_cadence=resort if resort > 1 else 16,
+            )
+        )
+    elif sorted_force is None:
         multi = jax.jit(make_multi_step(force_fn, config.dt, steps))
     elif (
         resort > 1

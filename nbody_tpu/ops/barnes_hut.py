@@ -893,6 +893,7 @@ def barnes_hut_forces_sorted(
     near_impl: str | None = None,
     extra=None,
     with_grid_meta: bool = False,
+    ids_via_gather: bool = True,
 ):
     """Sorted-pipeline BH forces → ``(acc_sorted, psort, order)``, or
     ``(acc_sorted, psort, order, extra_sorted)`` when ``extra`` is given;
@@ -921,7 +922,7 @@ def barnes_hut_forces_sorted(
         levels=levels, window=2048, near_engine="tiles",
         near_k=near_k, multipole_order=multipole_order,
         near_impl=near_impl, sorted_output=True, extra=extra,
-        with_grid_meta=with_grid_meta,
+        with_grid_meta=with_grid_meta, ids_via_gather=ids_via_gather,
     )
 
 
@@ -1074,6 +1075,7 @@ def _barnes_hut_frozen(
         "near_impl",
         "sorted_output",
         "with_grid_meta",
+        "ids_via_gather",
     ),
 )
 def _barnes_hut_forces(
@@ -1092,6 +1094,7 @@ def _barnes_hut_forces(
     sorted_output: bool = False,
     extra=None,
     with_grid_meta: bool = False,
+    ids_via_gather: bool = True,
 ):
     ws = theta_to_ws(theta, order=multipole_order)
     d_fine = 1 << levels
@@ -1162,16 +1165,18 @@ def _barnes_hut_forces(
             extra=extra,
             with_csort=not fused,
             ids_sorted_fn=(
-                ids_sorted_fn if wide and not with_grid_meta else None
+                ids_sorted_fn
+                if wide and not (with_grid_meta or ids_via_gather)
+                else None
             ),
-            # Meta producers must NOT carry ids as an f32 bitcast column:
-            # the TPU backend denormal-flushes it to zero once an int32
-            # gather with the same indices coexists in the program
-            # (rank collapsed to arange at 1M — scripts/profile_r4c.py
-            # a1/a4; mechanism note in build_sorted_grid's docstring).
-            # The int gather (~3 ms/re-sort) is the single source of
-            # truth for ids, rank, chunk starts, placement, and pickup.
-            ids_via_gather=with_grid_meta,
+            # int32-native ids ALWAYS (r5 default): the bitcast column
+            # denormal-flushes on TPU — in r4 it collapsed rank to
+            # arange when an int gather coexisted (profile_r4c a1/a4);
+            # in r5 it was caught zeroing the moments/placement of THIS
+            # fused pipeline itself, failing direct-N² ground truth on
+            # every row (profile_r5e p0/p1 vs p2). ids_via_gather=False
+            # survives only as an explicit A/B-archaeology override.
+            ids_via_gather=with_grid_meta or ids_via_gather,
         )
         ids_sorted = grid.ids
 

@@ -109,6 +109,64 @@ def make_sorted_force_fn(
     return None
 
 
+def make_table_step_params(
+    config: SimulationConfig,
+    *,
+    backend: Optional[str] = None,
+    pos_hint=None,
+):
+    """``TableParams`` for ``config``'s engine when the table-resident
+    stepping path applies (ops/table_step.py), else None.
+
+    The table path keeps integration state in the sweep kernel's
+    plane-major slot layout between re-sorts — frozen steps pay no sort,
+    no placement, no pickup. It exists for the fused Pallas tiles
+    engines only (Barnes-Hut tiles, spatial-hash tiles) and carries its
+    cell ids int32-native end to end, so it is structurally immune to
+    the bitcast denormal-flush hazard (ops/sorted_window.py
+    build_sorted_grid docstring). Off-TPU it would run interpret-mode
+    kernels (~100x slower than the XLA paths) — CPU callers get None
+    and fall back to row-space stepping; tests exercise the table path
+    explicitly with ``impl="pallas_interpret"``.
+    """
+    if not _use_pallas(backend):
+        return None
+    if config.particle_count >= (1 << 24):
+        return None
+    from nbody_tpu.ops.tile_sweep import tile_engine_fused
+
+    if config.force_method == ForceMethod.BARNES_HUT:
+        from nbody_tpu.ops.barnes_hut import bh_engine_params
+        from nbody_tpu.ops.table_step import bh_table_params
+
+        p = bh_engine_params(config)
+        if p["near_engine"] != "tiles" or p["multipole_order"] < 2:
+            return None
+        tp = bh_table_params(
+            G=config.G, softening=config.softening,
+            theta=config.barnes_hut_theta,
+            levels=p["levels"], near_k=p["near_k"],
+        )
+    elif config.force_method == ForceMethod.SPATIAL_HASH:
+        from nbody_tpu.ops.spatial_hash import hash_engine_params
+        from nbody_tpu.ops.table_step import hash_table_params
+
+        hp = hash_engine_params(config, pos_hint)
+        if hp["engine"] != "tiles":
+            return None
+        tp = hash_table_params(
+            G=config.G, softening=config.softening,
+            cutoff=config.spatial_hash_cutoff,
+            cell_size=config.spatial_hash_cell_size,
+            d=hp["tile_d"], k=hp["tile_k"],
+        )
+    else:
+        return None
+    if not tile_engine_fused(tp.d, tp.k, tp.impl):
+        return None
+    return tp
+
+
 def list_algorithms():
     """reference: --list-algorithms (src/main.cpp, app_cli.cpp:118-121)."""
     return [

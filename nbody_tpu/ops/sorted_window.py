@@ -136,7 +136,7 @@ def build_sorted_grid(
     extra: jax.Array | None = None,
     with_csort: bool = True,
     ids_sorted_fn=None,
-    ids_via_gather: bool = False,
+    ids_via_gather: bool = True,
 ) -> SortedGrid:
     """Counting sort by cell id (the XLA form of the reference's histogram +
     exclusive_scan + scatter pipeline, force_spatial_hash.cu:52-80).
@@ -185,19 +185,26 @@ def build_sorted_grid(
     engine +4.4 ms/step, profile_r3y y0/y1) — so no production factory
     currently routes through it.
 
-    ``ids_via_gather=True`` — drop the bitcast column and take the
-    sorted ids from an INDEPENDENT int32 gather ``ids[order]`` instead
-    (bit-exact, no monotone clamp needed, ~3 ms at 1M). REQUIRED for any
-    caller that materializes the sorted ids beyond this program's
-    internal dataflow (FrozenGridMeta producers): small int bit patterns
-    are f32 DENORMALS under the bitcast, and the TPU backend flushes
-    them — measured BOTH when the bitcast column is output from a jit
-    (fetched all-zero, scripts/profile_r4b.py v0 pre-fix) AND, worse,
-    when an int32 gather with the same index operand merely COEXISTS in
-    the program (the compiler unifies the gathers and the in-program
-    bitcast ids read back zero: rank collapsed to arange at 1M,
-    scripts/profile_r4c.py a1/a4). The int gather as the single source
-    of truth makes the hazard structurally absent.
+    ``ids_via_gather=True`` (the DEFAULT since round 5) — no bitcast
+    column; the sorted ids come from an INDEPENDENT int32 gather
+    ``ids[order]`` (bit-exact, no monotone clamp needed, ~3 ms at 1M).
+    The legacy bitcast column (``ids_via_gather=False``, kept for A/B
+    archaeology only) is UNSAFE on TPU: small int bit patterns are f32
+    DENORMALS under the bitcast, and the TPU backend flushes them —
+    measured when the bitcast column is output from a jit (fetched
+    all-zero, scripts/profile_r4b.py v0), when an int32 gather with the
+    same index operand merely COEXISTS in the program (the compiler
+    unifies the gathers and the in-program bitcast ids read back zero:
+    rank collapsed to arange at 1M, scripts/profile_r4c.py a1/a4), and —
+    the round-5 discovery that forced this default — in the PRODUCTION
+    fused Barnes-Hut program itself, standalone or scanned, where the
+    flushed ids zeroed the moments/placement and the returned
+    accelerations failed direct-N² ground truth on every sampled row
+    (max err = |a|max; scripts/profile_r5e.py p0/p1 vs p2). The int
+    gather as the single source of truth makes the hazard structurally
+    absent. Flushed builds are also degenerately FAST (every scatter
+    chunk empty) — perf comparisons against bitcast-era numbers are
+    invalid (r5e: correct sort step 72 ms vs flushed 37 ms at 1M).
     """
     n = pos.shape[0]
     num_cells = d * d * d

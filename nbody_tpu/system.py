@@ -184,7 +184,44 @@ class ParticleSystem:
                     )
                     cadence = self._config.resort_every
                     stale_frac = self._config.resort_stale_frac
-                    if sorted_force is None:
+                    table_p = None
+                    if stale_frac > 0.0 or cadence > 1:
+                        # Table-resident stepping: frozen steps never
+                        # leave the sweep kernel's slot layout (no sort,
+                        # no placement, no pickup — ops/table_step.py).
+                        # Strictly dominates the row-space cadence
+                        # machinery where it applies; same audit and
+                        # cadence semantics.
+                        from nbody_tpu.ops.forces import (
+                            make_table_step_params,
+                        )
+
+                        table_p = make_table_step_params(
+                            self._config, pos_hint=self._state.pos
+                        )
+                    if sorted_force is None and table_p is None:
+                        multi = make_multi_step(
+                            self._force_fn, self._config.dt, n_steps
+                        )
+                    elif table_p is not None and stale_frac > 0.0:
+                        from nbody_tpu.ops.table_step import (
+                            make_table_adaptive_multi_step,
+                        )
+
+                        multi = make_table_adaptive_multi_step(
+                            table_p, self._config.dt, n_steps,
+                            max_stale_frac=stale_frac,
+                            max_cadence=cadence if cadence > 1 else 16,
+                        )
+                    elif table_p is not None:
+                        from nbody_tpu.ops.table_step import (
+                            make_table_multi_step,
+                        )
+
+                        multi = make_table_multi_step(
+                            table_p, self._config.dt, n_steps, cadence
+                        )
+                    elif sorted_force is None:
                         multi = make_multi_step(
                             self._force_fn, self._config.dt, n_steps
                         )
