@@ -142,41 +142,32 @@ def sorted_verlet_step(
     by the engine's permutation each step. Two measured routes
     (scripts/profile_r3w2.py, integrated 1M multi-steps):
 
-      * ``route_extra=False`` (default): ONE separate (N, 4) row gather
+      * ``route_extra=False`` (default): ONE separate (N, 3) row gather
         by the returned permutation. Measured best for BOTH production
         engines at 1M (Barnes-Hut +7.7 ms/step through the routed form,
         r3w2 w0/w1; spatial hash +4.4 ms/step on the real d56/k16
         engine, profile_r3y y0/y1).
-      * ``route_extra=True``: the payload rides the force's INTERNAL
-        sort gather as its 4-column ``extra`` (the engine drops its
-        cell-id column to stay at the 8-column row-gather width limit,
-        build_sorted_grid's ids_sorted_fn). Faster only on small-k
+      * ``route_extra=True``: the velocity rides the force's INTERNAL
+        sort gather as its ``extra`` payload. Faster only on small-k
         configs (d64/k8 toy engine: −2.3 ms/step, r3w2 w2/w3); kept
         equivalence-tested for engines where it measures ahead.
 
-    The int32 tag rides bit-exactly via a bitcast — it is only
-    gathered, never computed on. (f32 pipelines only: an f64 payload
-    dtype would value-convert the bitcast column.)
+    The int32 tag is re-permuted by its OWN int gather, never as an
+    f32-bitcast payload column: small int bit patterns are f32 denormals
+    and the TPU backend flushes them in-program (build_sorted_grid's
+    hazard note; this path originally bitcast the tag and was fixed in
+    round 5 alongside the ids column).
     """
     dt = jnp.asarray(dt, s.pos.dtype)
     pos_d = s.pos + s.vel * dt + (0.5 * dt * dt) * s.acc
     vel_h = s.vel + (0.5 * dt) * s.acc
-    pay = jnp.concatenate(
-        [
-            vel_h,
-            jax.lax.bitcast_convert_type(
-                s.to_orig.astype(jnp.int32), jnp.float32
-            )[:, None],
-        ],
-        axis=-1,
-    )
     if route_extra:
-        acc_s, psort, order, pay = sorted_force_fn(pos_d, s.mass, pay)
+        acc_s, psort, order, pay = sorted_force_fn(pos_d, s.mass, vel_h)
     else:
         acc_s, psort, order = sorted_force_fn(pos_d, s.mass)[:3]
-        pay = pay[order]
+        pay = vel_h[order]
     vel_s = pay[:, :3] + (0.5 * dt) * acc_s
-    to_orig = jax.lax.bitcast_convert_type(pay[:, 3], jnp.int32)
+    to_orig = s.to_orig[order]
     return SortedState(
         pos=psort[:, :3], vel=vel_s, acc=acc_s, mass=psort[:, 3],
         to_orig=to_orig, time=s.time + dt,
