@@ -117,8 +117,8 @@ def _kernel(
     nonempty_ref,  # (n_chunks,) i32 scalar-prefetch: chunk has sources
     nwin_ref,     # (n_chunks,) i32 scalar-prefetch: windows covering span
     geom_ref,     # (1, 128) f32 VMEM: [lo_x, lo_y, lo_z, cell, ...]
-    src_hbm,      # (8, cols_pad) f32 ANY: channels x,y,z,m,dest,1,cid,0
-    *out_refs,    # (8, R) f32 VMEM block [+ (16, QP) moments block]
+    src_hbm,      # (n_ch, cols_pad) f32 ANY: x,y,z,m,dest,1,cid,0[,extras]
+    *out_refs,    # (n_ch, R) f32 VMEM block [+ (16, QP) moments block]
     r: int,
     w: int,
     k: int,
@@ -127,6 +127,7 @@ def _kernel(
     qp: int,
     split3: bool,
     with_moments: bool,
+    n_ch: int = 8,
 ):
     if with_moments:
         out_ref, mom_ref = out_refs
@@ -207,7 +208,7 @@ def _kernel(
             out_ref[0:1] = fx
             out_ref[1:2] = fy
             out_ref[2:3] = fz
-            out_ref[3:8] = jnp.zeros((5, r), jnp.float32)
+            out_ref[3:n_ch] = jnp.zeros((n_ch - 3, r), jnp.float32)
             if with_moments:
                 mom_ref[...] = jnp.zeros((16, qp), jnp.float32)
 
@@ -271,7 +272,7 @@ def _kernel(
 
     pl.run_scoped(
         inner,
-        win=pltpu.VMEM((8, w), jnp.float32),
+        win=pltpu.VMEM((n_ch, w), jnp.float32),
         sem=pltpu.SemaphoreType.DMA(()),
     )
 
@@ -456,6 +457,7 @@ def monotone_scatter_tiles(
     with_moments: bool = False,
     cell_ids: jax.Array | None = None,  # (N,) i32 sorted cell ids (moments)
     with_coverage: bool = False,
+    extra: jax.Array | None = None,     # (N, E<=8) extra placed channels
 ):
     """→ (4, d³·k) channel-major dense slot rows, cell centers with mass 0
     in unmatched columns.
@@ -490,6 +492,14 @@ def monotone_scatter_tiles(
     the kernel accumulates anyway for its filler merge — table-resident
     stepping (ops/table_step.py) uses it to mask empty slots without
     assuming mass > 0.
+
+    ``extra`` (N, E<=8) places E more per-row channels (velocity, tags,
+    …) through the SAME one-hot in the SAME kernel pass, returned as a
+    trailing (E, d³·k) array. The placement matmul's M axis pads to a
+    full 128-row MXU tile either way, so the extra channels ride the
+    pass for free — fusing what was a second full kernel launch (its
+    window DMAs and its R×W one-hot construction) into this one. Empty
+    slots get exact 0.0 in every extra channel.
     """
     if q != 0 and q * k != r:
         raise ValueError(f"slot-major layout needs q*k == r, got {(q, k, r)}")
@@ -537,19 +547,25 @@ def monotone_scatter_tiles(
         cid_row = cell_ids.astype(jnp.float32)
     else:
         cid_row = jnp.zeros((n,), jnp.float32)
-    src = jnp.stack(
-        [
-            psort[:, 0],
-            psort[:, 1],
-            psort[:, 2],
-            psort[:, 3],
-            dest_f,
-            jnp.ones((n,), jnp.float32),
-            cid_row,
-            jnp.zeros((n,), jnp.float32),
-        ],
-        axis=0,
-    )  # (8, N)
+    e_ch = 0 if extra is None else int(extra.shape[1])
+    if e_ch > 8:
+        raise ValueError(f"at most 8 extra channels, got {e_ch}")
+    n_ch = 8 if e_ch == 0 else 16
+    rows = [
+        psort[:, 0],
+        psort[:, 1],
+        psort[:, 2],
+        psort[:, 3],
+        dest_f,
+        jnp.ones((n,), jnp.float32),
+        cid_row,
+        jnp.zeros((n,), jnp.float32),
+    ]
+    if e_ch:
+        zrow = jnp.zeros((n,), jnp.float32)
+        rows += [extra[:, i] for i in range(e_ch)]
+        rows += [zrow] * (8 - e_ch)
+    src = jnp.stack(rows, axis=0)  # (n_ch, N)
     # padded tail: dest stays 0-filled — but dest 0 is real; overwrite
     # the dest channel's pad with the sentinel, and likewise the cell-id
     # channel (a 0-filled pad row would otherwise COUNT into cell 0's
@@ -566,8 +582,8 @@ def monotone_scatter_tiles(
     starts128 = jnp.clip(src_starts // 128, 0, (cols_pad - 2 * w) // 128)
 
     qp = -(-q // 128) * 128 if with_moments else 0
-    out_specs = pl.BlockSpec((8, r), lambda i, *_: (0, i))
-    out_shape = jax.ShapeDtypeStruct((8, m), jnp.float32)
+    out_specs = pl.BlockSpec((n_ch, r), lambda i, *_: (0, i))
+    out_shape = jax.ShapeDtypeStruct((n_ch, m), jnp.float32)
     if with_moments:
         out_specs = [
             out_specs,
@@ -589,7 +605,7 @@ def monotone_scatter_tiles(
     out = pl.pallas_call(
         functools.partial(
             _kernel, r=r, w=w, k=k, d=d, q=q, qp=qp, split3=split3,
-            with_moments=with_moments,
+            with_moments=with_moments, n_ch=n_ch,
         ),
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -598,8 +614,8 @@ def monotone_scatter_tiles(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=n_chunks * (r * w * 10),
-            bytes_accessed=n_chunks * (w * 8 + 8 * r) * 4,
+            flops=n_chunks * (r * w * (10 + e_ch)),
+            bytes_accessed=n_chunks * (w * n_ch + n_ch * r) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -612,5 +628,9 @@ def monotone_scatter_tiles(
             mom.reshape(16, n_chunks, qp)[:11, :, :q]
             .reshape(11, n_chunks * q)
         )
+        if e_ch:
+            return tiles[:nch], mom, tiles[8:8 + e_ch]
         return tiles[:nch], mom
+    if e_ch:
+        return out[:nch], out[8:8 + e_ch]
     return out[:nch]

@@ -435,18 +435,16 @@ def _sort_build(rows, prev_time, dt, p: TableParams) -> TableState:
     rank_s = sorted_ranks(ids_s)
     bk = _chunk_bookkeeping(ids_s, rank_s, p)
 
-    tiles6, moments = monotone_scatter_tiles(
+    # ONE fused placement pass: pos+mass (with moments/coverage) AND
+    # vel+tag ride the same one-hot — the M axis of the placement
+    # matmul pads to a 128-row MXU tile either way, so the second
+    # kernel launch (its DMAs + its R×W one-hot) was pure overhead.
+    tiles6, moments, tiles_v = monotone_scatter_tiles(
         pay[:, 0:4], bk["dest"], bk["starts"], lo, cell,
         k=k, d=d, r=bk["r"], w=bk["w"], q=bk["q"],
         nonempty=bk["nonempty"], nwin=bk["nwin"],
         interpret=p.interpret, with_moments=True, cell_ids=ids_s,
-        with_coverage=True,
-    )
-    tiles_v = monotone_scatter_tiles(
-        pay[:, 4:8], bk["dest"], bk["starts"], lo, cell,
-        k=k, d=d, r=bk["r"], w=bk["w"], q=bk["q"],
-        nonempty=bk["nonempty"], nwin=bk["nwin"],
-        interpret=p.interpret,
+        with_coverage=True, extra=pay[:, 4:8],
     )
     plane6 = _relayout_plane(tiles6, 6, p, bk["g"])
     pos_t = plane6[:, 0:4]
@@ -481,8 +479,14 @@ def _sort_build(rows, prev_time, dt, p: TableParams) -> TableState:
         side_valid = jnp.zeros((0,), rows.dtype)
     side_over = jnp.maximum(total - cap, 0).astype(jnp.int32)
 
+    # Overflow rows BEYOND the side capacity degrade to reading slot
+    # k-1 of their OWN cell (the documented bounded-error contract in
+    # the module docstring) — pointing them at slot 0 globally would
+    # teleport them into cell (0,0,0), which on a collapsing scene
+    # (side overflow ≫ side_cap) builds an unphysical point mass there
+    # and blows the run up within a few re-sorts.
     idx_ext = jnp.where(
-        rank_s < k, ids_s * k + rank_s, jnp.int32(0)
+        rank_s < k, ids_s * k + rank_s, ids_s * k + (k - 1)
     ).astype(jnp.int32)
     if cap > 0:
         idx_ext = idx_ext.at[side_row].set(

@@ -158,3 +158,50 @@ class TestTableVsRowSpace:
         np.testing.assert_array_equal(
             np.asarray(out.mass), np.asarray(state.mass)
         )
+
+    def test_beyond_cap_overflow_degrades_to_own_cell(self):
+        """Rows past BOTH the k slots and the side capacity read slot
+        k-1 of their OWN cell (bounded, documented degradation) — the
+        r5f hardware runs showed the old idx_ext default teleported
+        them to cell (0,0,0), building an unphysical point mass there
+        on collapsing scenes (side overflow >> side_cap)."""
+        from nbody_tpu.ops.table_step import (
+            _entry,
+            table_to_particle_state,
+        )
+        from nbody_tpu.state import ParticleState
+
+        n = 128
+        k = 8
+        key = jax.random.PRNGKey(7)
+        # 96 particles jammed into one off-origin corner region (ONE
+        # cell at d=8), the other 32 spread wide so the grid spans
+        # [-8, 8]^3 and the cluster cell is far from cell (0,0,0).
+        cluster = 6.0 + 0.1 * jax.random.uniform(
+            key, (96, 3), dtype=jnp.float32
+        )
+        spread = jax.random.uniform(
+            jax.random.PRNGKey(8), (32, 3), minval=-8.0, maxval=8.0,
+            dtype=jnp.float32,
+        )
+        pos = jnp.concatenate([cluster, spread])
+        state = ParticleState(
+            pos=pos, vel=jnp.zeros((n, 3), jnp.float32),
+            acc=jnp.zeros((n, 3), jnp.float32),
+            mass=jnp.ones((n,), jnp.float32),
+            time=jnp.float32(0.0),
+        )
+        # k=8 slots + side_cap=4: >= 84 cluster rows beyond capacity
+        p = bh_table_params(levels=3, near_k=k, side_cap=4,
+                            impl="pallas_interpret")
+        ts = jax.jit(lambda s: _entry(s, DT, p))(state)
+        assert int(ts.side_over) > 0  # audit sees the beyond-cap rows
+        out = jax.jit(
+            lambda t: table_to_particle_state(t, n, p)
+        )(ts)
+        assert bool(jnp.isfinite(out.pos).all())
+        # Beyond-cap cluster rows must still read a CLUSTER row's state
+        # (own cell, slot k-1) — not a row near the grid origin corner.
+        clus_out = out.pos[:96]
+        d_clus = jnp.linalg.norm(clus_out - 6.05, axis=-1)
+        assert float(jnp.max(d_clus)) < 2.5  # within the cluster cell
