@@ -127,12 +127,27 @@ def main():
     # each step's force, so no above-threshold frozen step is ever taken
     # — the safe-by-construction form of the cadence machinery.
     stale_frac = float(os.environ.get("NBODY_BENCH_STALE_FRAC", "0"))
+    # Exact incremental re-sort (NBODY_BENCH_REPAIR=1): re-home only the
+    # rows whose cell changed each step (ops/table_step.
+    # make_table_repair_multi_step) — no staleness approximation; full
+    # rebuild on audit/cadence triggers. The honest way to amortize the
+    # sort on gentle scenes.
+    repair = os.environ.get("NBODY_BENCH_REPAIR") == "1"
     table_p = None
-    if stale_frac > 0.0:
+    if stale_frac > 0.0 or repair:
         from nbody_tpu.ops.forces import make_table_step_params
 
         table_p = make_table_step_params(config, pos_hint=state.pos)
-    if table_p is not None:
+    if table_p is not None and repair:
+        from nbody_tpu.ops.table_step import make_table_repair_multi_step
+
+        multi = jax.jit(
+            make_table_repair_multi_step(
+                table_p, config.dt, steps,
+                max_cadence=resort if resort > 1 else 64,
+            )
+        )
+    elif table_p is not None:
         from nbody_tpu.ops.table_step import make_table_adaptive_multi_step
 
         multi = jax.jit(
@@ -161,11 +176,18 @@ def main():
     # relay), so timings below include a real device round-trip.
     out = multi(state)
     float(out.time)
-    # timed: best of 3 (first calls can still carry executable-load tails)
+    # timed: best of 3, each rep FROM THE INITIAL STATE — the
+    # reference's benchmark flow times steps 0..N from init
+    # (src/main.cpp:335-416), and on the violent cold-collapse scene
+    # that window is also where the physics stays in-contract
+    # (k-slot overflow 316 rows at step 1 → 2.6K at step 16, vs 257K
+    # by step 32 once the core has collapsed — profile_r5h.py ovf).
+    # Chaining reps past collapse, as the r2-r4 harness did, times an
+    # out-of-contract regime and also inflates per-chunk window loops.
     wall = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        out = multi(out)
+        out = multi(state)
         checksum = float(jnp.sum(out.pos[0]))
         wall = min(wall, time.perf_counter() - t0)
     assert checksum == checksum  # not NaN

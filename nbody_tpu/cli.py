@@ -54,6 +54,7 @@ class AppCliOptions:
     devices: int = 1
     resort_every: int = 1  # amortized re-sort cadence (fused runs)
     resort_stale_frac: float = 0.0  # adaptive audit-driven re-sort (>0)
+    resort_repair: bool = False  # exact incremental re-sort (table)
     steps: int = 0  # 0 = run until interrupted (interactive)
     debug_nans: bool = False  # NaN tracing (SURVEY.md §5.2 analogue)
     trace_dir: str = ""  # deep-trace output dir (jax.profiler.trace)
@@ -165,6 +166,7 @@ class AppCliOptions:
             shard_devices=self.devices,
             resort_every=self.resort_every,
             resort_stale_frac=self.resort_stale_frac,
+            resort_repair=self.resort_repair,
         )
 
 
@@ -276,6 +278,8 @@ def parse_app_cli_options(argv: List[str]) -> AppCliOptions:
             o.resort_every = _parse_int(need_value(a), a)
         elif a == "--resort-stale-frac":
             o.resort_stale_frac = _parse_float(need_value(a), a)
+        elif a == "--resort-repair":
+            o.resort_repair = True
         elif a == "--debug-nans":
             o.debug_nans = True
         elif a == "--trace":
@@ -373,6 +377,10 @@ Distribution parameters (scoped to --init; defaults per distribution):
   --resort-stale-frac F  Adaptive re-sort: take frozen steps until the
                          audited stale fraction exceeds F (cap
                          --resort-every steps), 0 disables
+  --resort-repair        Exact incremental re-sort: re-home only the
+                         rows whose cell changed each step (TPU
+                         fused-tiles engines; full rebuild on audit
+                         or cadence triggers)
   --benchmark            Headless timed run; emits a JSON record
   --benchmark-steps N    Steps per benchmark run
   --benchmark-output P   Benchmark JSON destination file

@@ -142,32 +142,33 @@ def sorted_verlet_step(
     by the engine's permutation each step. Two measured routes
     (scripts/profile_r3w2.py, integrated 1M multi-steps):
 
-      * ``route_extra=False`` (default): ONE separate (N, 3) row gather
-        by the returned permutation. Measured best for BOTH production
-        engines at 1M (Barnes-Hut +7.7 ms/step through the routed form,
-        r3w2 w0/w1; spatial hash +4.4 ms/step on the real d56/k16
-        engine, profile_r3y y0/y1).
-      * ``route_extra=True``: the velocity rides the force's INTERNAL
-        sort gather as its ``extra`` payload. Faster only on small-k
-        configs (d64/k8 toy engine: −2.3 ms/step, r3w2 w2/w3); kept
-        equivalence-tested for engines where it measures ahead.
-
-    The int32 tag is re-permuted by its OWN int gather, never as an
-    f32-bitcast payload column: small int bit patterns are f32 denormals
-    and the TPU backend flushes them in-program (build_sorted_grid's
-    hazard note; this path originally bitcast the tag and was fixed in
-    round 5 alongside the ids column).
+      * ``route_extra=False``: the velocity takes ONE separate (N, 3)
+        row gather and the tag its own int32 gather by the returned
+        permutation. (The r3-era numbers that crowned this route were
+        measured on the denormal-flushed engine and are void.)
+      * ``route_extra=True``: velocity AND the tag
+        (as an exact f32 VALUE column — a value cast, not the
+        denormal-hazard bitcast; tags < N < 2²⁴ round-trip exactly)
+        ride the force's INTERNAL sort gather as a 4-column ``extra``
+        — the whole step is ONE 9-wide payload gather. Honest r5h
+        measurement: a 9-col gather costs 11.6 ms vs 16.4 for the
+        8-col + int-ids pair it subsumes, and the separate vel gather
+        alone costs 6.8 ms (profile_r5h.py g0/g1/y0/y1).
     """
     dt = jnp.asarray(dt, s.pos.dtype)
     pos_d = s.pos + s.vel * dt + (0.5 * dt * dt) * s.acc
     vel_h = s.vel + (0.5 * dt) * s.acc
     if route_extra:
-        acc_s, psort, order, pay = sorted_force_fn(pos_d, s.mass, vel_h)
+        ext = jnp.concatenate(
+            [vel_h, s.to_orig.astype(s.pos.dtype)[:, None]], axis=-1
+        )
+        acc_s, psort, order, pay = sorted_force_fn(pos_d, s.mass, ext)
+        to_orig = pay[:, 3].astype(jnp.int32)
     else:
         acc_s, psort, order = sorted_force_fn(pos_d, s.mass)[:3]
         pay = vel_h[order]
+        to_orig = s.to_orig[order]
     vel_s = pay[:, :3] + (0.5 * dt) * acc_s
-    to_orig = s.to_orig[order]
     return SortedState(
         pos=psort[:, :3], vel=vel_s, acc=acc_s, mass=psort[:, 3],
         to_orig=to_orig, time=s.time + dt,

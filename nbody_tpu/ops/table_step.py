@@ -105,6 +105,9 @@ class TableState:
     acc_t: jax.Array      # (d, 3, k, L) G-scaled
     cov_t: jax.Array      # (d, 1, k, L) 1.0 where occupied
     tag_t: jax.Array      # (d, 1, k, L) original row index (exact f32)
+    rowid_t: jax.Array    # (d, 1, k, L) last-rebuild sorted-row index
+    #                       (exact f32) — lets the repair step update
+    #                       idx_ext for relocated rows without a rebuild
     idx_ext: jax.Array    # (N,) i32
     side: jax.Array       # (cap, 8) [x, y, z, m, vx, vy, vz, tag]
     side_cell: jax.Array  # (cap,) i32 frozen cell id
@@ -430,28 +433,40 @@ def _sort_build(rows, prev_time, dt, p: TableParams) -> TableState:
     lo, cell = _grid_geometry(rows[:, 0:3], p)
     ids = _bin_ids(rows[:, 0:3], lo, cell, p)
     order = jnp.argsort(ids).astype(jnp.int32)
-    pay = rows[order]            # ONE 8-column row gather
-    ids_s = ids[order]           # int32-native ids (denormal-safe)
+    # ONE 9-column row gather: the cell id rides as an f32 VALUE column
+    # (ids < d³ ≤ 2²⁴ are exactly representable — a value cast, NOT the
+    # denormal-hazard bitcast), measured 4.8 ms/step cheaper than a
+    # separate int32 ids gather at 1M (scripts/profile_r5h.py g0/g1).
+    pay9 = jnp.concatenate(
+        [rows, ids.astype(rows.dtype)[:, None]], axis=-1
+    )[order]
+    pay = pay9[:, :8]
+    ids_s = pay9[:, 8].astype(jnp.int32)
     rank_s = sorted_ranks(ids_s)
     bk = _chunk_bookkeeping(ids_s, rank_s, p)
 
     # ONE fused placement pass: pos+mass (with moments/coverage) AND
-    # vel+tag ride the same one-hot — the M axis of the placement
+    # vel+tag+rowid ride the same one-hot — the M axis of the placement
     # matmul pads to a 128-row MXU tile either way, so the second
     # kernel launch (its DMAs + its R×W one-hot) was pure overhead.
-    tiles6, moments, tiles_v = monotone_scatter_tiles(
+    # rowid (the sorted row position, exact f32 < 2²⁴) is what lets the
+    # repair step relocate rows without rebuilding idx_ext.
+    rowid_col = jnp.arange(n, dtype=rows.dtype)[:, None]
+    tiles6, moments, tiles_x = monotone_scatter_tiles(
         pay[:, 0:4], bk["dest"], bk["starts"], lo, cell,
         k=k, d=d, r=bk["r"], w=bk["w"], q=bk["q"],
         nonempty=bk["nonempty"], nwin=bk["nwin"],
         interpret=p.interpret, with_moments=True, cell_ids=ids_s,
-        with_coverage=True, extra=pay[:, 4:8],
+        with_coverage=True,
+        extra=jnp.concatenate([pay[:, 4:8], rowid_col], axis=-1),
     )
     plane6 = _relayout_plane(tiles6, 6, p, bk["g"])
     pos_t = plane6[:, 0:4]
     cov_t = plane6[:, 5:6]
-    plane_v = _relayout_plane(tiles_v, 4, p, bk["g"])
-    vel_h_t = plane_v[:, 0:3] * cov_t
-    tag_t = plane_v[:, 3:4]
+    plane_x = _relayout_plane(tiles_x, 5, p, bk["g"])
+    vel_h_t = plane_x[:, 0:3] * cov_t
+    tag_t = plane_x[:, 3:4]
+    rowid_t = plane_x[:, 4:5]
 
     # --- side buffer: overflow rows from the EXACT per-cell counts ----
     counts = moments[10]
@@ -517,6 +532,7 @@ def _sort_build(rows, prev_time, dt, p: TableParams) -> TableState:
 
     return TableState(
         pos_t=pos_t, vel_t=vel_t, acc_t=acc_t, cov_t=cov_t, tag_t=tag_t,
+        rowid_t=rowid_t,
         idx_ext=idx_ext, side=side, side_cell=side_cell, side_acc=sacc,
         side_valid=side_valid, side_over=side_over,
         lo=lo, cell=cell, time=prev_time + dtc,
@@ -552,6 +568,245 @@ def _table_sorted_step(ts: TableState, dt, p: TableParams) -> TableState:
 def _table_frozen_step(ts: TableState, dt, p: TableParams) -> TableState:
     pos_d_t, vel_h, side_pd = _drift(ts, dt, p)
     return _frozen_force_and_kick(ts, pos_d_t, vel_h, side_pd, dt, p)
+
+
+def _mover_bookkeeping(tgt_s, p: TableParams, w: int):
+    """Chunk windows over the SORTED mover targets — the same chunk
+    geometry as ``_chunk_bookkeeping`` but against the (small) mover
+    array, so the placement kernel skips every chunk no mover lands
+    in."""
+    from nbody_tpu.ops.sorted_window import cell_starts_at
+
+    d, k = p.d, p.k
+    num_cells = d * d * d
+    g = 128 // math.gcd(d * k, 128)
+    r = g * d * k
+    q = r // k
+    n_chunks = num_cells * k // r
+    chunk_ar = jnp.arange(n_chunks, dtype=jnp.int32)
+    c0 = (chunk_ar * r) // k
+    c1 = jnp.minimum(((chunk_ar + 1) * r + k - 1) // k, num_cells)
+    starts = cell_starts_at(tgt_s, c0)
+    ends = cell_starts_at(tgt_s, c1)
+    span = ends - (starts // 128) * 128
+    return dict(
+        starts=starts, nonempty=ends > starts, nwin=-(-span // w),
+        r=r, q=q, g=g,
+    )
+
+
+def _repair_step(ts: TableState, pos_d_t, vel_h, side_pd, stale,
+                 ids_now, dt, p: TableParams, cap: int) -> TableState:
+    """EXACT-assignment incremental step: relocate only the (≤ cap)
+    rows whose cell binning changed, leaving everything else in place —
+    no sort, no extract, no full placement. The TPU shape of an
+    incremental grid update: audit mask → ``nonzero`` compaction →
+    high-water-mark slot assignment → monotone one-hot insert (the
+    placement kernel skips chunks without arrivals) → ONE fused
+    elementwise merge over the table.
+
+    Degradations (all audited, all self-correcting):
+      * arrivals to a cell whose high-water mark reached k are DENIED —
+        the row keeps its old (stale) slot, keeps counting in the
+        driver's stale audit, and retries next step; accumulating
+        leftovers push the audit over the rebuild threshold.
+      * freed slots are not compacted (the high-water mark only grows
+        between rebuilds) — fragmentation, like denial, drives the
+        audit toward a rebuild.
+      * side rows never join the table here; their frozen cell id is
+        re-binned so the far field stays mass-exact.
+
+    No CUDA counterpart: the reference re-sorts every step
+    (force_barnes_hut.cu:276-280)."""
+    d, k = p.d, p.k
+    l, L = _lane_geom(p)
+    num_cells = d * d * d
+    dtc = jnp.asarray(dt, pos_d_t.dtype)
+    fdt = pos_d_t.dtype
+
+    # --- compact the movers -------------------------------------------
+    stale_flat = stale.reshape(-1)
+    mov = jnp.nonzero(stale_flat, size=cap, fill_value=d * k * L)[0]
+    mov = mov.astype(jnp.int32)
+    val = mov < d * k * L
+    movc = jnp.where(val, mov, 0)
+    li = movc % L
+    ki = (movc // L) % k
+    di = movc // (L * k)
+
+    def chan(arr, ch, nch):
+        idx = ((di * nch + ch) * k + ki) * L + li
+        return arr.reshape(-1)[idx] * val.astype(fdt)
+
+    cols = [chan(pos_d_t, c, 4) for c in range(4)]
+    cols += [chan(vel_h, c, 3) for c in range(3)]
+    cols += [chan(ts.tag_t, 0, 1), chan(ts.rowid_t, 0, 1)]
+    rows_mov = jnp.stack(cols, axis=-1)          # (cap, 9)
+    tgt = ids_now.reshape(-1)[movc]
+
+    # --- sort movers by target cell, rank them ------------------------
+    from nbody_tpu.ops.sorted_window import sorted_ranks
+
+    key = jnp.where(val, tgt, jnp.int32(num_cells))
+    ordm = jnp.argsort(key).astype(jnp.int32)
+    tgt_s = key[ordm]
+    rank = sorted_ranks(tgt_s)
+    rows_s = rows_mov[ordm]
+    val_s = val[ordm]
+
+    # --- free-slot assignment: per-cell high-water mark ---------------
+    # Occupied slots are contiguous only at rebuild; repairs punch
+    # holes, so arrivals go ABOVE the highest ever-occupied slot — can
+    # never collide with a staying row.
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (d, k, L), 1)
+    occ = ts.cov_t[:, 0] > 0.0
+    hwm = jnp.max(jnp.where(occ, slot_iota + 1, 0), axis=1)  # (d, L)
+    hwm_flat = hwm[:, :l].reshape(-1)                        # (d³,)
+    base = hwm_flat[jnp.clip(tgt_s, 0, num_cells - 1)]
+    slot = base + rank
+    fits = val_s & (slot < k) & (tgt_s < num_cells)
+    dest = jnp.where(fits, tgt_s * k + slot, jnp.int32(1 << 24))
+
+    # --- insert via the monotone one-hot kernel -----------------------
+    from nbody_tpu.ops.pallas_scatter import monotone_scatter_tiles
+
+    bk = _mover_bookkeeping(tgt_s, p, 256)
+    ins6, ins_x = monotone_scatter_tiles(
+        rows_s[:, 0:4], dest, bk["starts"], ts.lo, ts.cell,
+        k=k, d=d, r=bk["r"], w=256, q=bk["q"],
+        nonempty=bk["nonempty"], nwin=bk["nwin"],
+        interpret=p.interpret, with_coverage=True,
+        extra=rows_s[:, 4:9],
+    )
+    pl6 = _relayout_plane(ins6, 6, p, bk["g"])
+    plx = _relayout_plane(ins_x, 5, p, bk["g"])
+    icov = pl6[:, 5:6] > 0.0
+
+    # --- removal flags back in table order ----------------------------
+    inv = jnp.argsort(ordm).astype(jnp.int32)
+    rem_flat = (
+        jnp.zeros((d * k * L,), jnp.bool_)
+        .at[mov]                      # invalid movers are OOB → dropped
+        .set(fits[inv], mode="drop")
+    )
+    rem = rem_flat.reshape(d, 1, k, L)
+
+    # --- ONE fused merge over the table -------------------------------
+    fx, fy, fz = _lane_centers(ts.lo, ts.cell, p, fdt)
+    filler = jnp.concatenate(
+        [jnp.broadcast_to(fx, (d, 1, k, L)),
+         jnp.broadcast_to(fy, (d, 1, k, L)),
+         jnp.broadcast_to(fz, (d, 1, k, L)),
+         jnp.zeros((d, 1, k, L), fdt)], axis=1,
+    )
+    pos_new = jnp.where(icov, pl6[:, 0:4], jnp.where(rem, filler,
+                                                     pos_d_t))
+    vel_new = jnp.where(icov, plx[:, 0:3], jnp.where(rem, 0.0, vel_h))
+    tag_new = jnp.where(icov, plx[:, 3:4], jnp.where(rem, 0.0,
+                                                     ts.tag_t))
+    rid_new = jnp.where(icov, plx[:, 4:5], jnp.where(rem, 0.0,
+                                                     ts.rowid_t))
+    cov_new = jnp.where(icov, 1.0, jnp.where(rem, 0.0, ts.cov_t))
+
+    # --- idx_ext update for the relocated rows ------------------------
+    rid_mov = rows_s[:, 8].astype(jnp.int32)
+    idx_ext = ts.idx_ext.at[
+        jnp.where(fits, rid_mov, jnp.int32(ts.idx_ext.shape[0]))
+    ].set(dest, mode="drop")
+
+    # --- side rows: refresh the frozen cell id ------------------------
+    if p.side_cap > 0:
+        ids_side = _bin_ids(side_pd[:, 0:3], ts.lo, ts.cell, p)
+        side_cell = jnp.where(ts.side_valid > 0.0, ids_side,
+                              ts.side_cell)
+    else:
+        side_cell = ts.side_cell
+
+    merged = dataclasses.replace(
+        ts, cov_t=cov_new, tag_t=tag_new, rowid_t=rid_new,
+        idx_ext=idx_ext, side_cell=side_cell,
+    )
+    return _frozen_force_and_kick(merged, pos_new, vel_new, side_pd,
+                                  dt, p)
+
+
+def make_table_repair_multi_step(
+    p: TableParams, dt: float, n_steps: int,
+    *, repair_cap: int = 32768, max_cadence: int = 64,
+    with_trace: bool = False,
+):
+    """``n_steps`` Verlet steps with EXACT cell assignments at
+    incremental cost: every step re-homes the rows whose binning
+    changed (``_repair_step``); a FULL rebuild runs only when the
+    audited mover count exceeds ``repair_cap`` (the compaction
+    capacity — beyond it movers would be silently dropped, so the
+    rebuild is mandatory, not advisory) or ``max_cadence`` expires
+    (bounding high-water-mark fragmentation and frozen-geometry
+    drift). Unlike the adaptive FROZEN driver there is no staleness
+    approximation to tune: physics matches re-sort-every-step up to
+    slot summation order and the audited denial set.
+
+    ``with_trace=True`` additionally returns per-step
+    ``(stale_counts, rebuilt)`` arrays (entry step excluded)."""
+    _validate(p)
+    if repair_cap < 128:
+        raise ValueError("repair_cap must be >= 128")
+    if max_cadence < 1:
+        raise ValueError("max_cadence must be >= 1")
+    lin, lane_valid = _static_cell_ids(p)
+
+    def multi(state: ParticleState):
+        n = state.pos.shape[0]
+        if n >= _F32_EXACT:
+            raise ValueError("table stepping requires N < 2^24")
+        ts = _entry(state, dt, p)
+
+        def body(c, _):
+            ts, since = c
+            pos_d_t, vel_h, side_pd = _drift(ts, dt, p)
+            ids_now = _bin_ids(
+                jnp.moveaxis(pos_d_t[:, 0:3], 1, -1), ts.lo, ts.cell, p
+            )
+            stale = (
+                (ids_now != lin[:, 0]) & lane_valid[:, 0]
+                & (ts.cov_t[:, 0] > 0.0)
+            )
+            n_stale = jnp.sum(stale.astype(jnp.int32))
+            rebuild = (
+                (n_stale > repair_cap) | (since >= max_cadence - 1)
+            )
+
+            def do_rebuild(args):
+                ts, pos_d_t, vel_h, side_pd, _stale, _ids = args
+                rows = _extract(ts, pos_d_t, vel_h, side_pd, p)
+                return _sort_build(rows, ts.time, dt, p), jnp.int32(0)
+
+            def do_repair(args):
+                ts, pos_d_t, vel_h, side_pd, stale, ids_now = args
+                return (
+                    _repair_step(ts, pos_d_t, vel_h, side_pd, stale,
+                                 ids_now, dt, p, repair_cap),
+                    since + jnp.int32(1),
+                )
+
+            ts, since = jax.lax.cond(
+                rebuild, do_rebuild, do_repair,
+                (ts, pos_d_t, vel_h, side_pd, stale, ids_now),
+            )
+            return (ts, since), (n_stale, rebuild)
+
+        if n_steps > 1:
+            (ts, _), trace = jax.lax.scan(
+                body, (ts, jnp.int32(0)), None, length=n_steps - 1
+            )
+        else:
+            trace = (jnp.zeros((0,), jnp.int32), jnp.zeros((0,), bool))
+        out = table_to_particle_state(ts, n, p)
+        if with_trace:
+            return out, trace
+        return out
+
+    return multi
 
 
 def table_to_particle_state(ts: TableState, n: int,

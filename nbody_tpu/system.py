@@ -184,8 +184,9 @@ class ParticleSystem:
                     )
                     cadence = self._config.resort_every
                     stale_frac = self._config.resort_stale_frac
+                    repair = self._config.resort_repair
                     table_p = None
-                    if stale_frac > 0.0 or cadence > 1:
+                    if repair or stale_frac > 0.0 or cadence > 1:
                         # Table-resident stepping: frozen steps never
                         # leave the sweep kernel's slot layout (no sort,
                         # no placement, no pickup — ops/table_step.py).
@@ -202,6 +203,15 @@ class ParticleSystem:
                     if sorted_force is None and table_p is None:
                         multi = make_multi_step(
                             self._force_fn, self._config.dt, n_steps
+                        )
+                    elif table_p is not None and repair:
+                        from nbody_tpu.ops.table_step import (
+                            make_table_repair_multi_step,
+                        )
+
+                        multi = make_table_repair_multi_step(
+                            table_p, self._config.dt, n_steps,
+                            max_cadence=cadence if cadence > 1 else 64,
                         )
                     elif table_p is not None and stale_frac > 0.0:
                         from nbody_tpu.ops.table_step import (

@@ -171,6 +171,15 @@ class SimulationConfig:
     # on violent scenes with zero configuration; the trigger lags the
     # audit by one step. 0 (default) = fixed-cadence behavior above.
     resort_stale_frac: float = 0.0
+    # EXACT incremental re-sort (ops/table_step.
+    # make_table_repair_multi_step): every step re-homes exactly the
+    # rows whose cell binning changed (no staleness approximation — the
+    # physics matches re-sort-every-step up to slot summation order and
+    # an audited denial set), with a full rebuild only when the mover
+    # count exceeds the repair capacity or ``resort_every`` (cadence
+    # cap, 64 when unset) expires. Fused-tiles engines on TPU only;
+    # elsewhere the flag silently falls back to the row-space paths.
+    resort_repair: bool = False
     # Distribution parameters (reference: include/nbody/types.hpp:343-382
     # plumbs Uniform/Spherical/DiskDistribution structs through config).
     # One of the *DistParams dataclasses matching init_distribution, or

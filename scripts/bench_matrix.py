@@ -94,7 +94,30 @@ def run_cell(method_name, n, scene):
     import os
 
     resort = int(os.environ.get("NBODY_BENCH_RESORT", "1"))
-    if sorted_force is None:
+    stale_frac = float(os.environ.get("NBODY_BENCH_STALE_FRAC", "0"))
+    repair = os.environ.get("NBODY_BENCH_REPAIR") == "1"
+    table_p = None
+    if stale_frac > 0.0 or repair:
+        from nbody_tpu.ops.forces import make_table_step_params
+
+        table_p = make_table_step_params(config, pos_hint=state.pos)
+    if table_p is not None and repair:
+        from nbody_tpu.ops.table_step import make_table_repair_multi_step
+
+        multi = jax.jit(make_table_repair_multi_step(
+            table_p, config.dt, steps,
+            max_cadence=resort if resort > 1 else 64,
+        ))
+    elif table_p is not None:
+        from nbody_tpu.ops.table_step import (
+            make_table_adaptive_multi_step,
+        )
+
+        multi = jax.jit(make_table_adaptive_multi_step(
+            table_p, config.dt, steps, max_stale_frac=stale_frac,
+            max_cadence=resort if resort > 1 else 16,
+        ))
+    elif sorted_force is None:
         multi = jax.jit(make_multi_step(force_fn, config.dt, steps))
     elif resort > 1 and hasattr(sorted_force, "frozen") and n < (1 << 24):
         from nbody_tpu.ops.integrator import make_resort_multi_step
@@ -106,10 +129,13 @@ def run_cell(method_name, n, scene):
         multi = jax.jit(make_sorted_multi_step(sorted_force, config.dt, steps))
     out = multi(state)
     float(out.time)  # real readback warmup
+    # each rep times steps 0..N from the INITIAL state (bench.py's
+    # protocol: the reference benchmarks from init, and the early
+    # window is where the k-cap contract holds on collapse scenes)
     wall = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        out = multi(out)
+        out = multi(state)
         checksum = float(jnp.sum(out.pos[0]))
         wall = min(wall, time.perf_counter() - t0)
     assert checksum == checksum

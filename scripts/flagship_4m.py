@@ -42,7 +42,7 @@ def timed_steps(multi, state, steps):
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        out = multi(out)
+        out = multi(state)  # from-init reps: bench.py's protocol
         chk = float(jnp.sum(out.pos[0]))
         best = min(best, time.perf_counter() - t0)
     assert chk == chk

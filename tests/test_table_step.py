@@ -8,6 +8,8 @@ Pallas pipeline — the same seam discipline as tests/test_frozen_grid.py.
 Hardware truth: scripts/profile_r5a.py.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -205,3 +207,72 @@ class TestTableVsRowSpace:
         clus_out = out.pos[:96]
         d_clus = jnp.linalg.norm(clus_out - 6.05, axis=-1)
         assert float(jnp.max(d_clus)) < 2.5  # within the cluster cell
+
+    def test_repair_matches_cad1_with_movers(self):
+        """Repair stepping (exact incremental re-homing) tracks the
+        re-sort-every-step trajectory on a scene with real cell
+        crossings, and restores masses/order exactly."""
+        from nbody_tpu.ops.table_step import make_table_repair_multi_step
+
+        cfg = SimulationConfig(
+            particle_count=N, force_method=ForceMethod.BARNES_HUT,
+            bh_max_level=3, dt=DT,
+        )
+        state = init_spherical(
+            jax.random.PRNGKey(9), N, SphericalDistParams(radius=5.0)
+        )
+        # hot scene: random velocities large enough that a few percent
+        # of rows cross cells every step
+        vel = 60.0 * jax.random.normal(
+            jax.random.PRNGKey(10), (N, 3), dtype=jnp.float32
+        )
+        state = dataclasses.replace(state, vel=vel)
+        sf = make_barnes_hut_forces_sorted(cfg)
+        state = _init(state, sf)
+        p = bh_table_params(levels=3, near_k=8, side_cap=64,
+                            impl="pallas_interpret")
+        tab = jax.jit(make_table_multi_step(p, DT, 6, 1))(state)
+        rep, (stales, rebuilt) = jax.jit(make_table_repair_multi_step(
+            p, DT, 6, repair_cap=512, max_cadence=64, with_trace=True
+        ))(state)
+        assert int(np.asarray(stales).max()) > 0  # movers were live
+        assert not bool(np.asarray(rebuilt).any())  # pure repair run
+        scale = float(jnp.max(jnp.abs(tab.pos)))
+        np.testing.assert_allclose(
+            np.asarray(tab.pos), np.asarray(rep.pos),
+            atol=1e-4 * scale,  # frozen-geometry far field differs
+        )
+        np.testing.assert_array_equal(
+            np.asarray(rep.mass), np.asarray(state.mass)
+        )
+        assert bool(jnp.isfinite(rep.vel).all())
+
+    def test_repair_rebuild_trigger(self):
+        """Mover counts beyond repair_cap force a full rebuild (beyond
+        the compaction capacity movers would be dropped — the rebuild is
+        mandatory), and the run stays finite and order-restoring."""
+        from nbody_tpu.ops.table_step import make_table_repair_multi_step
+
+        cfg = SimulationConfig(
+            particle_count=N, force_method=ForceMethod.BARNES_HUT,
+            bh_max_level=3, dt=DT,
+        )
+        state = init_spherical(
+            jax.random.PRNGKey(11), N, SphericalDistParams(radius=5.0)
+        )
+        vel = 600.0 * jax.random.normal(
+            jax.random.PRNGKey(12), (N, 3), dtype=jnp.float32
+        )
+        state = dataclasses.replace(state, vel=vel)
+        sf = make_barnes_hut_forces_sorted(cfg)
+        state = _init(state, sf)
+        p = bh_table_params(levels=3, near_k=8, side_cap=64,
+                            impl="pallas_interpret")
+        rep, (stales, rebuilt) = jax.jit(make_table_repair_multi_step(
+            p, DT, 5, repair_cap=128, max_cadence=64, with_trace=True
+        ))(state)
+        assert bool(np.asarray(rebuilt).any())
+        assert bool(jnp.isfinite(rep.pos).all())
+        np.testing.assert_array_equal(
+            np.asarray(rep.mass), np.asarray(state.mass)
+        )
